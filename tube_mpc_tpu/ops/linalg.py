@@ -1,0 +1,68 @@
+"""Small-matrix linear algebra tuned for the tube-MPC regime (nu ∈ {1,2}, nx̂ ≤ ~13).
+
+TPU-first replacements for the reference's ``torch.linalg.solve`` calls
+(``core/ddp.py:243-244``) and its dynamic-index active-set solve
+(``core/ddp.py:23-60``):
+
+- ``solve_spd``: closed-form adjugate inverses for n ∈ {1, 2} — a handful of fused
+  VPU ops instead of a batched LAPACK-style solve, and fully vmap/shard friendly —
+  with ``jnp.linalg.solve`` for larger n (static dispatch on shape).
+- ``masked_reduced_solve``: static-shape active-set elimination. Instead of gathering
+  free indices (dynamic shapes, illegal under jit), rows/cols of active dims are
+  replaced by identity and the RHS zeroed, which reproduces the reference semantics
+  exactly: X[active] = 0, X[free] = A_ff^{-1} B_f, and the all-active case returns 0.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def solve_spd(A: Array, B: Array) -> Array:
+    """Solve A X = B for (regularized) SPD A. A [..., n, n]; B [..., n] or [..., n, m]."""
+    n = A.shape[-1]
+    vec = B.ndim == A.ndim - 1
+    if vec:
+        B = B[..., None]
+    if n == 1:
+        X = B / A[..., :1, :]
+    elif n == 2:
+        a, b = A[..., 0, 0], A[..., 0, 1]
+        c, d = A[..., 1, 0], A[..., 1, 1]
+        det = a * d - b * c
+        inv_det = 1.0 / det
+        x0 = (d[..., None] * B[..., 0, :] - b[..., None] * B[..., 1, :]) * inv_det[..., None]
+        x1 = (-c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :]) * inv_det[..., None]
+        X = jnp.stack([x0, x1], axis=-2)
+    else:
+        X = jnp.linalg.solve(A, B)
+    return X[..., 0] if vec else X
+
+
+def masked_reduced_solve(A: Array, B: Array, active: Array) -> Array:
+    """Active-set reduced solve with static shapes (reference ``ddp.py:23-60``).
+
+    Args:
+      A: [..., n, n] regularized SPD matrix.
+      B: [..., n] or [..., n, m] RHS.
+      active: [..., n] boolean; True = dimension clamped at a bound (δ = 0).
+    Returns:
+      X with X[active] = 0 and X[free] solving the free-free subsystem.
+    """
+    free = (~active).astype(A.dtype)            # [..., n]
+    # Zero active rows/cols, put 1 on active diagonal: solving gives X[active] = 0.
+    A_masked = A * free[..., :, None] * free[..., None, :] + _diag_embed(active.astype(A.dtype))
+    vec = B.ndim == A.ndim - 1
+    Bm = B * free if vec else B * free[..., :, None]
+    return solve_spd(A_masked, Bm)
+
+
+def _diag_embed(v: Array) -> Array:
+    """[..., n] -> [..., n, n] with v on the diagonal (batched)."""
+    n = v.shape[-1]
+    return v[..., :, None] * jnp.eye(n, dtype=v.dtype)
+
+
+def regularize(H: Array, reg: float) -> Array:
+    """H + reg * I, batched (reference ``utils.py:42-52``)."""
+    return H + reg * jnp.eye(H.shape[-1], dtype=H.dtype)
