@@ -1,0 +1,147 @@
+"""Box-constrained iLQR/DDP, compiled end-to-end for TPU.
+
+Semantics match the reference solver (``core/ddp.py:102-307``): decision variable is u
+itself, forward passes hard-clamp to the box, the backward pass uses full (unreduced)
+regularized gains, the line search picks the best candidate over a fixed alpha ladder
+(first-minimum tie-break, optional feasibility filter), and iteration stops when the
+accepted cost changes by less than ``tol``.
+
+The *implementation* is TPU-native rather than a translation of the reference's
+per-step Python loops (``ddp.py:161-305``):
+
+- trajectory linearization + cost derivatives are horizon-PARALLEL (`vmap` over k);
+- the Riccati recursion is one `lax.scan` (sequential-but-compiled; N <= ~200);
+- the line search evaluates the whole alpha ladder as a BATCH (`vmap` of the rollout
+  scan over alphas) instead of the reference's sequential early-exit loop;
+- Q_uu solves use closed-form 2x2 inverses (ops/linalg.py) — no LAPACK calls;
+- the outer improvement loop is a `lax.while_loop`, so a converged solve stops paying
+  for remaining iterations at runtime while staying fully jittable and vmappable.
+
+Everything is shape-static: vmap over scenario batches and shard_map over device meshes
+compose with this function unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.linalg import solve_spd
+from .ocp import OCP, rollout, total_cost
+
+
+@dataclasses.dataclass(frozen=True)
+class ILQRConfig:
+    """Solver hyperparameters (reference ``ddp.py:12-20``). Static under jit."""
+
+    max_iter: int = 30
+    tol: float = 1e-6
+    reg: float = 1e-6
+    alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
+
+
+def _linearize(ocp: OCP, theta, X: Array, U: Array):
+    """All per-step Jacobians and cost derivatives, horizon-parallel."""
+    ks = jnp.arange(U.shape[0])
+    f_jac = ocp.jac_fn()
+    sd = ocp.stage_derivs_fn()
+    A, B = jax.vmap(lambda x, u: f_jac(x, u, theta))(X[:-1], U)
+    lx, lu, lxx, luu, lux = jax.vmap(lambda x, u, k: sd(x, u, k, theta))(X[:-1], U, ks)
+    phi_x, phi_xx = ocp.terminal_derivs_fn()(X[-1], theta)
+    return A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx
+
+
+def _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, reg: float):
+    """Riccati recursion -> feedback gains K [N,nu,nx] and feedforward kff [N,nu].
+
+    One lax.scan step implements the reference recursion at ``ddp.py:213-254``.
+    """
+    nu = B.shape[-1]
+    eye = jnp.eye(nu, dtype=B.dtype)
+
+    def step(carry, inp):
+        V_x, V_xx = carry
+        A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
+        Q_x = lx_k + A_k.T @ V_x
+        Q_u = lu_k + B_k.T @ V_x
+        Q_xx = lxx_k + A_k.T @ V_xx @ A_k
+        Q_ux = lux_k + B_k.T @ V_xx @ A_k
+        Q_uu = luu_k + B_k.T @ V_xx @ B_k
+        Q_uu_reg = Q_uu + reg * eye
+
+        K = -solve_spd(Q_uu_reg, Q_ux)
+        kff = -solve_spd(Q_uu_reg, Q_u)
+
+        V_x_new = Q_x + K.T @ Q_uu @ kff + K.T @ Q_u + Q_ux.T @ kff
+        V_xx_new = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
+        return (V_x_new, V_xx_new), (K, kff)
+
+    (_, _), (K, kff) = jax.lax.scan(
+        step, (phi_x, phi_xx), (A, B, lx, lu, lxx, luu, lux), reverse=True
+    )
+    return K, kff
+
+
+def _forward_pass(ocp: OCP, theta, x0, X_old, U_old, K, kff, alpha):
+    """Closed-loop rollout at step size alpha with hard clamping (``ddp.py:261-296``)."""
+    N = U_old.shape[0]
+
+    def step(x, inp):
+        x_o, u_o, K_k, k_k = inp
+        du = k_k + K_k @ (x - x_o)
+        u = ocp.clamp(u_o + alpha * du)
+        xn = ocp.f(x, u, theta)
+        return xn, (xn, u)
+
+    _, (X_tail, U_new) = jax.lax.scan(step, x0, (X_old[:-1], U_old, K, kff))
+    X_new = jnp.concatenate([x0[None], X_tail], axis=0)
+    cost = total_cost(ocp, theta, X_new, U_new)
+
+    if ocp.feasible is not None:
+        ks = jnp.arange(N + 1)
+        feas = jax.vmap(lambda x, k: ocp.feasible(x, k, theta))(X_new, ks)
+        cost = jnp.where(jnp.all(feas), cost, jnp.asarray(jnp.inf, dtype=cost.dtype))
+    return X_new, U_new, cost
+
+
+def ilqr_solve(
+    ocp: OCP,
+    cfg: ILQRConfig,
+    theta,
+    x0: Array,
+    U_init: Array,
+) -> Tuple[Array, Array]:
+    """Solve the box-constrained OCP; returns (X [N+1,nx], U [N,nu]).
+
+    vmap over (theta, x0, U_init) for scenario batches; jit/shard_map compose freely.
+    """
+    dtype = x0.dtype
+    U0 = ocp.clamp(U_init)
+    X0 = rollout(ocp, theta, x0, U0)
+    alphas = jnp.asarray(cfg.alphas, dtype=dtype)
+
+    def body(carry):
+        it, X, U, prev_cost, _ = carry
+        A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx = _linearize(ocp, theta, X, U)
+        K, kff = _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, cfg.reg)
+
+        X_c, U_c, costs = jax.vmap(
+            lambda a: _forward_pass(ocp, theta, x0, X, U, K, kff, a)
+        )(alphas)
+        best = jnp.argmin(costs)  # first minimum wins ties, like the reference's strict <
+        best_cost = costs[best]
+        X_new = X_c[best]
+        U_new = U_c[best]
+        done = jnp.abs(prev_cost - best_cost) < cfg.tol
+        return it + 1, X_new, U_new, best_cost, done
+
+    def cond(carry):
+        it, _, _, _, done = carry
+        return (it < cfg.max_iter) & (~done)
+
+    init = (jnp.asarray(0), X0, U0, jnp.asarray(jnp.inf, dtype=dtype), jnp.asarray(False))
+    _, X, U, _, _ = jax.lax.while_loop(cond, body, init)
+    return X, U

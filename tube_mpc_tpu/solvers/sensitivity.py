@@ -1,0 +1,99 @@
+"""DDP-structured O(T) sensitivity solve for the implicit function theorem.
+
+Solves L_zz δz = -∇_z L_upper over the KKT system of a solved OCP using the structured
+backward/forward recursions (reference ``core/ddp.py:317-427``), with active control
+dims eliminated (δu_i = 0 at bounds, paper Appendix G semantics via
+``masked_reduced_solve`` — static shapes instead of the reference's dynamic index
+gather at ``ddp.py:49-59``).
+
+TPU-native structure: linearization is horizon-parallel (vmap), both sweeps are
+lax.scan, everything vmaps over scenario batches.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.linalg import masked_reduced_solve
+from .ocp import OCP
+
+
+class SensitivityResult(NamedTuple):
+    delta_X: Array       # [N+1, nx]
+    delta_U: Array       # [N, nu]
+    delta_lambda: Array  # [N+1, nx]
+
+
+def ddp_sensitivity(
+    ocp: OCP,
+    theta,
+    X: Array,
+    U: Array,
+    g_X: Array,
+    g_U: Array,
+    *,
+    reg: float = 1e-9,
+    active_tol: float = 1e-8,
+) -> SensitivityResult:
+    """Compute δz = (δX, δU, δλ) for upper-loss gradients (g_X [N+1,nx], g_U [N,nu]).
+
+    g_X[k] = ∂L_upper/∂x_k, g_U[k] = ∂L_upper/∂u_k — i.e. exactly the cotangents a
+    custom_vjp backward receives, which is how this doubles as the reference's
+    ``upper_grad_x/u/xN`` callback interface (``ddp.py:326-328``).
+    """
+    N, nu = U.shape
+    ks = jnp.arange(N)
+    f_jac = ocp.jac_fn()
+    sd = ocp.stage_derivs_fn()
+
+    A, B = jax.vmap(lambda x, u: f_jac(x, u, theta))(X[:-1], U)
+    _, _, lxx, luu, lux = jax.vmap(lambda x, u, k: sd(x, u, k, theta))(X[:-1], U, ks)
+    _, phi_xx = ocp.terminal_derivs_fn()(X[-1], theta)
+    active = ocp.active_mask(U, tol=active_tol)  # [N, nu] bool
+
+    eye = jnp.eye(nu, dtype=U.dtype)
+
+    def bwd(carry, inp):
+        V_xx, tV_x = carry
+        A_k, B_k, lxx_k, luu_k, lux_k, gx_k, gu_k, act_k = inp
+        Q_xx = lxx_k + A_k.T @ V_xx @ A_k
+        Q_xu = lux_k.T + A_k.T @ V_xx @ B_k
+        Q_ux = lux_k + B_k.T @ V_xx @ A_k
+        Q_uu = luu_k + B_k.T @ V_xx @ B_k
+        tQ_u = gu_k + B_k.T @ tV_x
+        tQ_x = gx_k + A_k.T @ tV_x
+        Q_uu_reg = Q_uu + reg * eye
+
+        K = -masked_reduced_solve(Q_uu_reg, Q_ux, act_k)
+        kff = -masked_reduced_solve(Q_uu_reg, tQ_u, act_k)
+
+        tV_x_new = tQ_x + Q_xu @ kff
+        V_xx_new = Q_xx + Q_xu @ K
+        return (V_xx_new, tV_x_new), (K, kff, V_xx_new, tV_x_new)
+
+    (_, _), (K, kff, V_xx_seq, tV_x_seq) = jax.lax.scan(
+        bwd,
+        (phi_xx, g_X[N]),
+        (A, B, lxx, luu, lux, g_X[:N], g_U, active),
+        reverse=True,
+    )
+
+    def fwd(dx, inp):
+        K_k, k_k, A_k, B_k, act_k, V_xx_k, tV_x_k = inp
+        dv = k_k + K_k @ dx
+        dv = jnp.where(act_k, jnp.zeros_like(dv), dv)
+        dlam = tV_x_k + V_xx_k @ dx
+        dx_next = A_k @ dx + B_k @ dv
+        return dx_next, (dx_next, dv, dlam)
+
+    dx0 = jnp.zeros_like(X[0])
+    dxN, (dX_tail, dU, dlam_head) = jax.lax.scan(
+        fwd, dx0, (K, kff, A, B, active, V_xx_seq, tV_x_seq)
+    )
+    dX = jnp.concatenate([dx0[None], dX_tail], axis=0)
+    dlam_N = g_X[N] + phi_xx @ dX[N]
+    dlam = jnp.concatenate([dlam_head, dlam_N[None]], axis=0)
+    return SensitivityResult(delta_X=dX, delta_U=dU, delta_lambda=dlam)
