@@ -1,0 +1,179 @@
+"""Closed-loop agreement vs the PyTorch reference paper path (BASELINE.json oracle).
+
+Runs the reference `_run_dubins_paper` at reduced size, reconstructs its disturbance
+sequence from the logged trajectories (w_t = x_{t+1} - f(x_t, u_t); PRNG parity is
+impossible across frameworks, SURVEY.md §7 hard-part (d)), then replays the same
+disturbances through our jitted scan driver and compares control sequences, states,
+losses and adapted parameters.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tube_mpc_tpu.ops.costs import CostWeights
+from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
+from tube_mpc_tpu.systems.dubins import DubinsConfig, make_dubins
+from tube_mpc_tpu.systems.obstacles import CircleField
+from tube_mpc_tpu.tube.closed_loop import (
+    TubeMPCConfig,
+    run_generic_closed_loop,
+    run_paper_closed_loop,
+)
+from tube_mpc_tpu.tube.params import AdaptConfig, AuxAdapt, RawAuxTheta, RawNominalTheta, inv_softplus
+
+F64 = jnp.float64
+
+N, H = 16, 24
+ALPHAS = (1.0, 0.5, 0.25, 0.1, 0.05, 0.01, 0.0)
+OBS = [(4.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 4.0), (6.0, 6.0)]
+BETA, EPS = 20.0, 1e-4
+
+
+def _ref_cfg():
+    return {
+        "seed": 0,
+        "use_float64": True,
+        "paper_dubins_mode": True,
+        "system": {
+            "name": "dubins",
+            "dt": 0.01,
+            "horizon_N": N,
+            "task_horizon_H": H,
+            "nominal_max_iter": 10,
+            "aux_max_iter": 20,
+            "line_search_alphas": list(ALPHAS),
+            "control_bounds": {"v_min": -10.0, "v_max": 10.0, "omega_max": float(np.pi)},
+            "disturbance": {"w_low": [-0.05] * 3, "w_high": [0.05] * 3},
+            "target": [10.0, 10.0, float(np.pi / 4)],
+        },
+        "dbas": {"barrier_type": "inverse", "alpha": 0.0, "gamma": 0.0, "eps": EPS},
+        "environment": {
+            "obstacles": [{"center": list(c), "radius": 1.0} for c in OBS],
+            "obstacle_smoothmin_beta": BETA,
+            "obstacle_aggregation": "smoothmin",
+        },
+        "cost_nominal": {"Q": [1.0, 1.0, 0.0], "R": [1.0, 1.0], "q_b": 1.0, "Qf": [1000.0] * 3},
+        "cost_auxiliary": {"Q": [1.0, 1.0, 1.0], "R": [1.0, 1.0], "q_b": 1.0},
+        "adaptation": {"lr_eta": 5e-2, "steps": 1, "momentum": 0.9, "adapt_nominal": False, "adapt_ancillary": True},
+    }
+
+
+@pytest.fixture(scope="module")
+def reference_run(tmp_path_factory):
+    from reference_harness import import_reference
+
+    import_reference()
+    import torch
+    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+
+    torch.manual_seed(0)
+    np.random.seed(0)
+    run_dir = str(tmp_path_factory.mktemp("refrun"))
+    run_closed_loop_experiment(_ref_cfg(), device=torch.device("cpu"), run_dir=run_dir)
+    out = {
+        name: np.load(f"{run_dir}/{name}.npy")
+        for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss", "Qa_history", "Ra_history", "qba_history"]
+    }
+    return out
+
+
+def _our_setup():
+    field = CircleField(
+        centers=jnp.asarray([list(c) for c in OBS], dtype=F64),
+        radii=jnp.ones((len(OBS),), dtype=F64),
+    )
+    system = make_dubins(DubinsConfig(dt=0.01), obstacles=field, aggregation="smoothmin", beta=BETA, dtype=F64)
+    aug = make_augmented(system, barrier_type="inverse", eps=EPS)
+    cfg = TubeMPCConfig(
+        N=N, H=H,
+        nominal_max_iter=10, aux_max_iter=20,
+        tol=1e-3, reg=1e-6, alphas=ALPHAS,
+        adapt=AdaptConfig(lr=5e-2, momentum=0.9),
+    )
+    return system, aug, cfg
+
+
+def _recover_disturbances(x_real, u_real, dt=0.01):
+    """w_t = x_{t+1} - f(x_t, u_t); last step padded with zeros (it affects no log)."""
+    x = x_real
+    px, py, th = x[:-1, 0], x[:-1, 1], x[:-1, 2]
+    v, om = u_real[:-1, 0], u_real[:-1, 1]
+    fx = np.stack([px + dt * v * np.cos(th), py + dt * v * np.sin(th), th + dt * om], axis=-1)
+    w = x[1:] - fx
+    return np.concatenate([w, np.zeros((1, 3))], axis=0)
+
+
+class TestClosedLoopAgreement:
+    def test_paper_path_matches_reference(self, reference_run):
+        ref = reference_run
+        w_seq = jnp.asarray(_recover_disturbances(ref["x_real"], ref["u_real"]), dtype=F64)
+        assert np.max(np.abs(np.asarray(w_seq[:-1]))) <= 0.05 + 1e-12  # sanity: inside W
+
+        system, aug, cfg = _our_setup()
+        log = jax.jit(
+            lambda w: run_paper_closed_loop(
+                system, aug, cfg,
+                w_nominal=CostWeights.create([1.0, 1.0, 0.0], [1.0, 1.0], [1000.0] * 3, 1.0, dtype=F64),
+                aux_init=AuxAdapt(Q=jnp.ones(3, dtype=F64), R=jnp.ones(2, dtype=F64), qb=jnp.asarray(1.0, dtype=F64)),
+                bp=BarrierParams.create(0.0, 0.0, 0.0, dtype=F64),
+                x0=jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F64),
+                target=jnp.asarray([10.0, 10.0, np.pi / 4], dtype=F64),
+                w_seq=w,
+            )
+        )(w_seq)
+
+        u_ours = np.asarray(log.u_real)
+        u_ref = ref["u_real"]
+        max_err = np.max(np.abs(u_ours - u_ref))
+        # control-sequence agreement metric (BASELINE.json: >= 0.99)
+        agreement = 1.0 - np.linalg.norm(u_ours - u_ref) / np.linalg.norm(u_ref)
+        assert agreement >= 0.999, f"agreement={agreement}, max_err={max_err}"
+        np.testing.assert_allclose(np.asarray(log.x_real), ref["x_real"], rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.loss), ref["loss"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.Q_hist), ref["Qa_history"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.R_hist), ref["Ra_history"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.qb_hist), ref["qba_history"], rtol=1e-5, atol=1e-8)
+
+
+class TestGenericPathRuns:
+    def test_generic_coupled_adaptation_smoke(self):
+        """Generic bilevel path: runs, stays finite, and adapts both θ̄ and θ."""
+        system, aug, cfg = _our_setup()
+        cfg = TubeMPCConfig(
+            N=8, H=6,
+            nominal_max_iter=5, aux_max_iter=5,
+            tol=1e-3, reg=1e-3, alphas=(1.0, 0.5, 0.0),
+            adapt=AdaptConfig(lr=1e-3, momentum=0.9),
+            adapt_nominal=True, adapt_ancillary=True,
+            coupling="reference",
+        )
+        raw_nom = RawNominalTheta(
+            Q_raw=inv_softplus(jnp.asarray([1.0, 1.0, 0.5], dtype=F64)),
+            R_raw=inv_softplus(jnp.asarray([1.0, 1.0], dtype=F64)),
+            Qf_raw=inv_softplus(jnp.asarray([100.0] * 3, dtype=F64)),
+            qb_raw=inv_softplus(jnp.asarray(1.0, dtype=F64)),
+            alpha_raw=jnp.asarray(0.01, dtype=F64),
+            gamma_raw=jnp.asarray(0.0, dtype=F64),
+            tight_raw=jnp.asarray(0.01, dtype=F64),
+        )
+        raw_aux = RawAuxTheta(
+            Q_raw=inv_softplus(jnp.asarray([1.0, 1.0, 1.0], dtype=F64)),
+            R_raw=inv_softplus(jnp.asarray([1.0, 1.0], dtype=F64)),
+            Qf_raw=inv_softplus(jnp.asarray([1.0, 1.0, 1.0], dtype=F64)),
+            qb_raw=inv_softplus(jnp.asarray(1.0, dtype=F64)),
+            alpha_raw=jnp.asarray(0.01, dtype=F64),
+            gamma_raw=jnp.asarray(0.0, dtype=F64),
+        )
+        log, (raw_nom_f, raw_aux_f) = run_generic_closed_loop(
+            system, aug, cfg,
+            raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+            x0=jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F64),
+            target=jnp.asarray([10.0, 10.0, np.pi / 4], dtype=F64),
+            key=jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(log.x_real)))
+        assert np.all(np.isfinite(np.asarray(log.loss)))
+        # both parameter sets moved (lr is tiny here; any nonzero drift counts)
+        assert np.max(np.abs(np.asarray(raw_aux_f.Q_raw) - np.asarray(raw_aux.Q_raw))) > 0
+        assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0
