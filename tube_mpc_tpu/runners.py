@@ -1,0 +1,145 @@
+"""Experiment runners: config -> jitted drivers -> run-dir artifacts.
+
+The TPU-native counterpart of the reference's entry-point layer
+(``run_experiment.py:35-76``, ``run_nominal.py:418-455``), including the paper/generic
+mode dispatch of ``tube_mpc.py:48-49``.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tube.closed_loop import (
+    run_generic_closed_loop,
+    run_nominal_receding,
+    run_paper_closed_loop,
+)
+from .tube.params import RawAuxTheta, RawNominalTheta
+from .utils.config import BuiltExperiment, ExperimentConfig, build_experiment
+from .utils.debug import check_finite_log
+from .utils.io import save_closed_loop_log, save_json
+from .systems.obstacles import h_min
+
+
+def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[str, Any]:
+    """Closed-loop adaptive tube MPC; returns the results summary (also written to
+    run_dir). Paper mode when paper_dubins_mode and not adapt_nominal
+    (reference dispatch tube_mpc.py:48-49)."""
+    paper_mode = cfg.paper_dubins_mode and not cfg.adaptation.adapt_nominal
+    built = build_experiment(cfg, paper_mode=paper_mode)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    t0 = time.perf_counter()
+    if paper_mode:
+        def paper(w, k):
+            return run_paper_closed_loop(
+                built.system, built.aug, built.tube_cfg,
+                w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+                x0=built.x0, target=built.target,
+                w_seq=w, key=k,
+            )
+
+        if w_seq is not None:
+            log = jax.jit(lambda w: paper(w, None))(w_seq)
+        else:
+            log = jax.jit(lambda k: paper(None, k))(key)
+        mode = "paper"
+    else:
+        dtype = cfg.dtype
+        raw_nom = RawNominalTheta(
+            Q_raw=jnp.asarray(list(cfg.cost_nominal.Q), dtype=dtype),
+            R_raw=jnp.asarray(list(cfg.cost_nominal.R), dtype=dtype),
+            Qf_raw=jnp.asarray(list(cfg.cost_nominal.Qf or cfg.cost_nominal.Q), dtype=dtype),
+            qb_raw=jnp.asarray(cfg.cost_nominal.q_b, dtype=dtype),
+            alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
+            gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
+            tight_raw=jnp.asarray(cfg.dbas.nominal_tightening, dtype=dtype),
+        )
+        raw_aux = RawAuxTheta(
+            Q_raw=jnp.asarray(list(cfg.cost_auxiliary.Q or cfg.cost_nominal.Q), dtype=dtype),
+            R_raw=jnp.asarray(list(cfg.cost_auxiliary.R or cfg.cost_nominal.R), dtype=dtype),
+            Qf_raw=jnp.asarray(list(cfg.cost_auxiliary.Qf or cfg.cost_auxiliary.Q or cfg.cost_nominal.Q), dtype=dtype),
+            qb_raw=jnp.asarray(cfg.cost_auxiliary.q_b, dtype=dtype),
+            alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
+            gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
+        )
+        log, _final = jax.jit(
+            lambda k: run_generic_closed_loop(
+                built.system, built.aug, built.tube_cfg,
+                raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+                x0=built.x0, target=built.target, key=k,
+            )
+        )(key)
+        mode = "generic"
+    jax.block_until_ready(log)
+    wall = time.perf_counter() - t0
+
+    if cfg.debug_numerics:
+        check_finite_log(log)
+
+    save_closed_loop_log(run_dir, log)
+    summary = {
+        "system": cfg.system.name,
+        "mode": mode,
+        "H": cfg.system.task_horizon_H,
+        "N": cfg.system.horizon_N,
+        "final_state": np.asarray(log.x_real[-1]).tolist(),
+        "final_barrier_state": float(np.asarray(log.b_real[-1])),
+        "final_loss": float(np.asarray(log.loss[-1])),
+        "wall_time_s": wall,
+        "solves_per_sec": 2 * cfg.system.task_horizon_H / wall,
+    }
+    save_json(run_dir, "results_summary.json", summary)
+    return {"summary": summary, "log": log}
+
+
+def run_nominal(cfg: ExperimentConfig, run_dir: str) -> Dict[str, Any]:
+    """Nominal-only receding horizon with success/collision checks
+    (reference ``run_nominal.py:204-415``)."""
+    built = build_experiment(cfg, paper_mode=False)
+    h_exact = None
+    if built.field is not None:
+        field = built.field
+        h_exact = lambda x: h_min(x, field)
+
+    res = jax.jit(
+        lambda: run_nominal_receding(
+            built.system, built.aug, built.tube_cfg,
+            w_nominal=built.w_nominal, bp=built.bp,
+            x0=built.x0, target=built.target, h_exact=h_exact,
+        )
+    )()
+    jax.block_until_ready(res)
+
+    ran = np.asarray(res.ran)
+    h_ran = int(ran.sum())
+    xs = np.asarray(res.x, dtype=np.float64)[:h_ran]
+    us = np.asarray(res.u, dtype=np.float64)[:h_ran]
+    bs = np.asarray(res.b, dtype=np.float64)[:h_ran]
+
+    import os
+
+    os.makedirs(run_dir, exist_ok=True)
+    np.save(os.path.join(run_dir, "x_bar.npy"), xs)
+    np.save(os.path.join(run_dir, "u_bar.npy"), us)
+    np.save(os.path.join(run_dir, "x_real.npy"), xs)
+    np.save(os.path.join(run_dir, "u_real.npy"), us)
+    np.save(os.path.join(run_dir, "b_real.npy"), bs)
+    np.save(os.path.join(run_dir, "loss.npy"), np.zeros((h_ran,), dtype=np.float64))
+
+    success_t = int(np.asarray(res.success_t))
+    summary = {
+        "system": cfg.system.name,
+        "mode": "nominal_receding",
+        "H_ran": h_ran,
+        "success": bool(np.asarray(res.success)),
+        "success_t": None if success_t >= cfg.system.task_horizon_H else success_t,
+        "collided": bool(np.asarray(res.collided)),
+        "final_state": xs[-1].tolist() if h_ran else np.asarray(built.x0).tolist(),
+    }
+    save_json(run_dir, "results_summary.json", summary)
+    return {"summary": summary, "result": res}
