@@ -1,0 +1,141 @@
+"""Checkpoint/resume bit-exactness + new system families (jacobians, closed loops)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tube_mpc_tpu.ops.costs import CostWeights
+from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
+from tube_mpc_tpu.systems.cartpole import make_cartpole
+from tube_mpc_tpu.systems.double_integrator import make_double_integrator
+from tube_mpc_tpu.systems.obstacles import CircleField
+from tube_mpc_tpu.systems.quadrotor2d import make_quadrotor2d
+from tube_mpc_tpu.tube.closed_loop import TubeMPCConfig, run_paper_closed_loop
+from tube_mpc_tpu.tube.params import AdaptConfig, AuxAdapt
+from tube_mpc_tpu.utils.checkpoint import latest_checkpoint, run_paper_closed_loop_checkpointed
+
+F64 = jnp.float64
+
+
+def _di_setup(H=10, N=8):
+    field = CircleField(
+        centers=jnp.asarray([[4.0, 4.0]], dtype=F64), radii=jnp.asarray([1.0], dtype=F64)
+    )
+    system = make_double_integrator(obstacles=field, dtype=F64)
+    aug = make_augmented(system, eps=1e-4)
+    cfg = TubeMPCConfig(
+        N=N, H=H, nominal_max_iter=4, aux_max_iter=4, tol=1e-3, reg=1e-6,
+        alphas=(1.0, 0.5, 0.0), adapt=AdaptConfig(lr=1e-2, momentum=0.9),
+    )
+    kw = dict(
+        w_nominal=CostWeights.create([1.0] * 4, [0.1] * 2, [100.0] * 4, 1.0, dtype=F64),
+        aux_init=AuxAdapt(Q=jnp.ones(4, dtype=F64), R=jnp.ones(2, dtype=F64), qb=jnp.asarray(1.0, dtype=F64)),
+        bp=BarrierParams.create(0.0, 0.0, 0.0, dtype=F64),
+        x0=jnp.zeros(4, dtype=F64),
+        target=jnp.asarray([10.0, 10.0, 0.0, 0.0], dtype=F64),
+    )
+    return system, aug, cfg, kw
+
+
+class TestCheckpoint:
+    def test_segmented_matches_monolithic_and_resumes(self, tmp_path):
+        system, aug, cfg, kw = _di_setup(H=10)
+        key = jax.random.PRNGKey(7)
+
+        mono = run_paper_closed_loop(system, aug, cfg, key=key, **kw)
+
+        d1 = str(tmp_path / "ck1")
+        seg = run_paper_closed_loop_checkpointed(
+            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=3, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(seg.u_real), np.asarray(mono.u_real))
+        np.testing.assert_array_equal(np.asarray(seg.Q_hist), np.asarray(mono.Q_hist))
+
+        # simulate a crash: delete the final checkpoints, resume from step 6
+        for t in (9, 10):
+            for p in (f"state_{t}.npz", f"logs_{t}.npz"):
+                f = os.path.join(d1, p)
+                if os.path.exists(f):
+                    os.remove(f)
+        assert latest_checkpoint(d1).endswith("state_6.npz")
+        resumed = run_paper_closed_loop_checkpointed(
+            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=3, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(resumed.u_real), np.asarray(mono.u_real))
+        np.testing.assert_array_equal(np.asarray(resumed.loss), np.asarray(mono.loss))
+
+
+class TestNewSystems:
+    def test_double_integrator_jacobian(self):
+        system, _, _, _ = _di_setup()
+        x = jnp.asarray([1.0, 2.0, 0.3, -0.4], dtype=F64)
+        u = jnp.asarray([0.5, -0.2], dtype=F64)
+        A, B = system.f_jac(x, u)
+        np.testing.assert_allclose(A, jax.jacfwd(system.f, 0)(x, u), rtol=1e-12)
+        np.testing.assert_allclose(B, jax.jacfwd(system.f, 1)(x, u), rtol=1e-12)
+
+    def test_quadrotor_jacobian(self):
+        system = make_quadrotor2d(dtype=F64)
+        x = jnp.asarray([1.0, 2.0, 0.3, -0.4, 0.2, 0.1], dtype=F64)
+        u = jnp.asarray([3.0, 4.0], dtype=F64)
+        A, B = system.f_jac(x, u)
+        np.testing.assert_allclose(A, jax.jacfwd(system.f, 0)(x, u), rtol=1e-12, atol=1e-15)
+        np.testing.assert_allclose(B, jax.jacfwd(system.f, 1)(x, u), rtol=1e-12, atol=1e-15)
+
+    def test_cartpole_autodiff_jacobian_and_safety(self):
+        system = make_cartpole(dtype=F64)
+        jac = system.jacobians()
+        x = jnp.asarray([0.1, 0.0, 2.8, 0.2], dtype=F64)
+        u = jnp.asarray([1.5], dtype=F64)
+        A, B = jac(x, u)
+        assert A.shape == (4, 4) and B.shape == (4, 1)
+        np.testing.assert_allclose(system.h_grad(x), jax.grad(lambda xx: system.h(xx))(x), rtol=1e-12)
+
+    def test_di_closed_loop_reaches_toward_target(self):
+        system, aug, cfg, kw = _di_setup(H=30, N=10)
+        log = run_paper_closed_loop(system, aug, cfg, key=jax.random.PRNGKey(0), **kw)
+        d0 = np.linalg.norm(np.asarray(kw["x0"][:2]) - np.asarray(kw["target"][:2]))
+        dT = np.linalg.norm(np.asarray(log.x_real[-1][:2]) - np.asarray(kw["target"][:2]))
+        assert dT < d0  # made progress
+        assert np.all(np.isfinite(np.asarray(log.loss)))
+
+    def test_quadrotor_closed_loop_smoke(self):
+        field = CircleField(
+            centers=jnp.asarray([[4.0, 4.0], [6.0, 2.0]], dtype=F64),
+            radii=jnp.asarray([1.0, 1.0], dtype=F64),
+        )
+        system = make_quadrotor2d(obstacles=field, dtype=F64)
+        aug = make_augmented(system, eps=1e-4)
+        cfg = TubeMPCConfig(
+            N=8, H=6, nominal_max_iter=4, aux_max_iter=4, tol=1e-3, reg=1e-4,
+            alphas=(1.0, 0.5, 0.1, 0.0), adapt=AdaptConfig(lr=1e-3, momentum=0.9),
+        )
+        log = run_paper_closed_loop(
+            system, aug, cfg,
+            w_nominal=CostWeights.create([1.0] * 6, [0.1] * 2, [100.0] * 6, 1.0, dtype=F64),
+            aux_init=AuxAdapt(Q=jnp.ones(6, dtype=F64), R=jnp.ones(2, dtype=F64), qb=jnp.asarray(1.0, dtype=F64)),
+            bp=BarrierParams.create(0.0, 0.0, 0.0, dtype=F64),
+            x0=jnp.zeros(6, dtype=F64),
+            target=jnp.asarray([8.0, 8.0, 0.0, 0.0, 0.0, 0.0], dtype=F64),
+            key=jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(log.x_real)))
+
+    def test_cartpole_closed_loop_smoke(self):
+        system = make_cartpole(dtype=F64)
+        aug = make_augmented(system, eps=1e-4)
+        cfg = TubeMPCConfig(
+            N=10, H=6, nominal_max_iter=5, aux_max_iter=5, tol=1e-3, reg=1e-4,
+            alphas=(1.0, 0.5, 0.1, 0.0), adapt=AdaptConfig(lr=1e-4, momentum=0.9),
+        )
+        log = run_paper_closed_loop(
+            system, aug, cfg,
+            w_nominal=CostWeights.create([1.0, 0.1, 5.0, 0.1], [0.01], [10.0, 1.0, 50.0, 1.0], 0.1, dtype=F64),
+            aux_init=AuxAdapt(Q=jnp.ones(4, dtype=F64), R=jnp.ones(1, dtype=F64), qb=jnp.asarray(0.1, dtype=F64)),
+            bp=BarrierParams.create(0.0, 0.0, 0.0, dtype=F64),
+            x0=jnp.asarray([0.0, 0.0, 3.0, 0.0], dtype=F64),
+            target=jnp.zeros(4, dtype=F64),
+            key=jax.random.PRNGKey(0),
+        )
+        assert np.all(np.isfinite(np.asarray(log.x_real)))

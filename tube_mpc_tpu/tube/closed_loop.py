@@ -117,39 +117,25 @@ class PaperLoopState(NamedTuple):
     vel: AuxAdapt
 
 
-def run_paper_closed_loop(
+def make_paper_step(
     system: System,
     aug: AugmentedDynamics,
     cfg: TubeMPCConfig,
     *,
     w_nominal: CostWeights,
-    aux_init: AuxAdapt,
     bp: BarrierParams,
-    x0: Array,
     target: Array,
-    w_seq: Optional[Array] = None,
-    key: Optional[Array] = None,
-) -> ClosedLoopLog:
-    """Closed-loop run of the paper-aligned configuration.
+):
+    """Build the per-step closed-loop transition (scan body) for the paper path.
 
-    w_seq [H, nx]: recorded disturbance sequence (for agreement runs against the
-    reference, SURVEY.md §7 hard-part (d)); if None, sampled i.i.d. from `key`.
+    Exposed separately so chunked/checkpointable runners (utils/checkpoint.py) and the
+    monolithic scan below share one definition.
     """
     nx = system.nx
-    dtype = x0.dtype
-    H, N = cfg.H, cfg.N
-
-    if w_seq is None:
-        if key is None:
-            raise ValueError("provide either w_seq or key")
-        w_seq = system.sample_disturbance(key, (H,), dtype=dtype)
-
     ocp_nom = make_nominal_ocp(system, aug, target)
     ocp_aux = make_aux_ocp(system, aug)
     solve_aux = make_diff_ilqr(ocp_aux, cfg.aux_ilqr())
     theta_nom = NominalTheta(w=w_nominal, bp=bp)
-
-    b0 = aug.init_b0(x0, bp)
 
     def step(state: PaperLoopState, w_t):
         # (A) nominal MPC from the nominal state (fixed parameters)
@@ -201,16 +187,56 @@ def run_paper_closed_loop(
         log = (state.x, u, state.x_bar, u_bar, state.b, L, adapt.Q, adapt.R, adapt.qb)
         return new_state, log
 
-    init = PaperLoopState(
+    return step
+
+
+def paper_init_state(
+    system: System,
+    aug: AugmentedDynamics,
+    cfg: TubeMPCConfig,
+    *,
+    aux_init: AuxAdapt,
+    bp: BarrierParams,
+    x0: Array,
+) -> PaperLoopState:
+    b0 = aug.init_b0(x0, bp)
+    return PaperLoopState(
         x=x0,
         b=b0,
         x_bar=x0,
         b_bar=b0,
-        U_nom_ws=jnp.zeros((N, system.nu), dtype=dtype),
-        U_aux_ws=jnp.zeros((N, system.nu), dtype=dtype),
+        U_nom_ws=jnp.zeros((cfg.N, system.nu), dtype=x0.dtype),
+        U_aux_ws=jnp.zeros((cfg.N, system.nu), dtype=x0.dtype),
         adapt=aux_init,
         vel=jax.tree.map(jnp.zeros_like, aux_init),
     )
+
+
+def run_paper_closed_loop(
+    system: System,
+    aug: AugmentedDynamics,
+    cfg: TubeMPCConfig,
+    *,
+    w_nominal: CostWeights,
+    aux_init: AuxAdapt,
+    bp: BarrierParams,
+    x0: Array,
+    target: Array,
+    w_seq: Optional[Array] = None,
+    key: Optional[Array] = None,
+) -> ClosedLoopLog:
+    """Closed-loop run of the paper-aligned configuration.
+
+    w_seq [H, nx]: recorded disturbance sequence (for agreement runs against the
+    reference, SURVEY.md §7 hard-part (d)); if None, sampled i.i.d. from `key`.
+    """
+    if w_seq is None:
+        if key is None:
+            raise ValueError("provide either w_seq or key")
+        w_seq = system.sample_disturbance(key, (cfg.H,), dtype=x0.dtype)
+
+    step = make_paper_step(system, aug, cfg, w_nominal=w_nominal, bp=bp, target=target)
+    init = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
     _, logs = jax.lax.scan(step, init, w_seq)
     return ClosedLoopLog(*logs)
 

@@ -1,0 +1,132 @@
+"""Checkpoint/resume for long closed-loop runs and sharded sweeps.
+
+The reference persists end-of-run only (``tube_mpc.py:1025-1047``); mid-run state is
+lost on failure (SURVEY.md §5 checkpoint: none). Here the closed loop executes in
+segments of `segment_len` steps — each segment one jitted scan — and the full carry
+state (x, b, x̄, b̄, warm starts, θ, momentum) plus the accumulated logs are persisted
+after every segment, so a killed run resumes bit-exactly at the last segment boundary.
+
+Format: flat .npz per checkpoint (leaf path -> array) — transparent, dependency-free,
+and pytree-faithful via tree_flatten_with_path. Disturbances for the whole run are
+derived up front from the seed, so resume consumes the identical noise stream.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..tube.closed_loop import ClosedLoopLog, make_paper_step, paper_init_state
+
+
+def _flatten(tree) -> dict:
+    leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(path): np.asarray(leaf) for path, leaf in leaves}
+
+
+def _unflatten(template, flat: dict):
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    new_leaves = []
+    for path, leaf in paths_leaves:
+        k = jax.tree_util.keystr(path)
+        if k not in flat:
+            raise KeyError(f"checkpoint missing leaf {k}")
+        new_leaves.append(jnp.asarray(flat[k], dtype=leaf.dtype))
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_state(path: str, state, *, step: int, extra: Optional[dict] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    flat = _flatten(state)
+    np.savez(path, __step__=np.asarray(step), **flat)
+    if extra is not None:
+        with open(path + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(extra, f)
+
+
+def load_state(path: str, template) -> Tuple[Any, int]:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files if k != "__step__"}
+        step = int(z["__step__"])
+    return _unflatten(template, flat), step
+
+
+def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best, best_step = None, -1
+    for f in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"state_(\d+)\.npz", f)
+        if m and int(m.group(1)) > best_step:
+            best_step = int(m.group(1))
+            best = os.path.join(ckpt_dir, f)
+    return best
+
+
+def run_paper_closed_loop_checkpointed(
+    system,
+    aug,
+    cfg,
+    *,
+    w_nominal,
+    aux_init,
+    bp,
+    x0,
+    target,
+    key,
+    ckpt_dir: str,
+    segment_len: int = 50,
+) -> ClosedLoopLog:
+    """Segmented, resumable version of run_paper_closed_loop.
+
+    Produces bit-identical logs to the monolithic scan for the same (key, config):
+    the full disturbance sequence is generated from `key` up front, segments consume
+    slices of it, and the carry is checkpointed at segment boundaries. If ckpt_dir
+    already holds checkpoints for this run, execution resumes after the last one.
+    """
+    H = cfg.H
+    dtype = x0.dtype
+    w_seq = system.sample_disturbance(key, (H,), dtype=dtype)
+
+    step = make_paper_step(system, aug, cfg, w_nominal=w_nominal, bp=bp, target=target)
+
+    @jax.jit
+    def run_segment(state, w_slice):
+        return jax.lax.scan(step, state, w_slice)
+
+    template = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
+
+    start = 0
+    state = template
+    logs_so_far: list = []
+    ck = latest_checkpoint(ckpt_dir)
+    if ck is not None:
+        state, start = load_state(ck, template)
+        saved_logs = np.load(ck.replace("state_", "logs_"), allow_pickle=False)
+        logs_so_far = [
+            ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
+        ]
+
+    t = start
+    while t < H:
+        seg = min(segment_len, H - t)
+        state, logs = run_segment(state, w_seq[t : t + seg])
+        logs = ClosedLoopLog(*logs)
+        logs_so_far.append(logs)
+        t += seg
+        merged = ClosedLoopLog(
+            *[jnp.concatenate([getattr(l, f) for l in logs_so_far], axis=0) for f in ClosedLoopLog._fields]
+        )
+        logs_so_far = [merged]
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t)
+        np.savez(
+            os.path.join(ckpt_dir, f"logs_{t}.npz"),
+            **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
+        )
+
+    return logs_so_far[0]
