@@ -1,0 +1,123 @@
+"""Lane-major fused Pallas solver vs the vmapped XLA solver (interpret mode).
+
+Also pins the component forms (ops/lanes.py) against the feature-last systems.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tube_mpc_tpu.ops.costs import CostWeights
+from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
+from tube_mpc_tpu.ops.lanes import augmented_step_fn, dubins_components, jac_rows
+from tube_mpc_tpu.solvers.ilqr import ILQRConfig, ilqr_solve
+from tube_mpc_tpu.systems.dubins import DubinsConfig, make_dubins
+from tube_mpc_tpu.systems.obstacles import CircleField
+from tube_mpc_tpu.tube.lane_interface import make_lane_problem, tube_ilqr_solve_lanes
+from tube_mpc_tpu.tube.problem import AuxTheta, NominalTheta, make_aux_ocp, make_nominal_ocp
+
+F32 = jnp.float32
+
+OBS = [(4.0, 2.0), (2.0, 4.0), (6.0, 6.0)]
+BETA, EPS = 20.0, 1e-4
+
+
+def _systems(dtype=F32):
+    field = CircleField(
+        centers=jnp.asarray([list(c) for c in OBS], dtype=dtype),
+        radii=jnp.ones((len(OBS),), dtype=dtype),
+    )
+    system = make_dubins(DubinsConfig(dt=0.01), obstacles=field, aggregation="smoothmin",
+                         beta=BETA, dtype=dtype)
+    aug = make_augmented(system, eps=EPS)
+    sys_c = dubins_components(
+        dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+        centers=OBS, radii=[1.0] * len(OBS), aggregation="smoothmin", beta=BETA,
+    )
+    return system, aug, sys_c
+
+
+class TestComponentForms:
+    def test_component_step_and_h_match_feature_last(self):
+        system, aug, sys_c = _systems(jnp.float64)
+        key = jax.random.PRNGKey(0)
+        x = jax.random.uniform(key, (17, 3), dtype=jnp.float64) * 3.0
+        u = jax.random.uniform(jax.random.PRNGKey(1), (17, 2), dtype=jnp.float64)
+        xs = tuple(x[:, i] for i in range(3))
+        us = tuple(u[:, a] for a in range(2))
+        fn = jnp.stack(sys_c.f(xs, us), axis=-1)
+        np.testing.assert_allclose(fn, system.f(x, u), rtol=1e-12)
+        np.testing.assert_allclose(sys_c.h(xs), system.h(x), rtol=1e-10)
+
+    def test_augmented_component_jacobian_matches(self):
+        system, aug, sys_c = _systems(jnp.float64)
+        bp = BarrierParams.create(0.05, 0.3, 0.02, dtype=jnp.float64)
+        f_hat_c = augmented_step_fn(sys_c, eps=EPS)
+        x_hat = jnp.asarray([1.0, 0.4, 0.7, 0.05], dtype=jnp.float64)
+        u = jnp.asarray([4.0, 0.3], dtype=jnp.float64)
+        xs = tuple(x_hat[i] for i in range(4))
+        us = tuple(u[a] for a in range(2))
+        # value parity
+        np.testing.assert_allclose(
+            jnp.stack(f_hat_c(xs, us, bp)), aug.f_hat(x_hat, u, bp), rtol=1e-12
+        )
+        # jvp-derived jacobian rows vs analytic chain-rule jacobian
+        A_rows, B_rows = jac_rows(lambda xx, uu: f_hat_c(xx, uu, bp), xs, us)
+        A_ref, B_ref = aug.f_hat_jac(x_hat, u, bp)
+        A = jnp.asarray([[A_rows[i][j] for j in range(4)] for i in range(4)])
+        Bm = jnp.asarray([[B_rows[i][a] for a in range(2)] for i in range(4)])
+        np.testing.assert_allclose(A, A_ref, rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(Bm, B_ref, rtol=1e-9, atol=1e-12)
+
+
+class TestLaneSolverEquivalence:
+    def _solve_both(self, *, tracking: bool, dtype):
+        system, aug, sys_c = _systems(dtype)
+        pb = make_lane_problem(sys_c, eps=EPS)
+        cfg = ILQRConfig(max_iter=6, tol=1e-3, reg=1e-3, alphas=(1.0, 0.5, 0.1, 0.0))
+
+        B, N = 5, 9
+        w = CostWeights.create([1.0, 1.0, 0.0], [1.0, 1.0], [100.0] * 3, 1.0, dtype=dtype)
+        bp = BarrierParams.create(0.0, 0.0, 0.0, dtype=dtype)
+        key = jax.random.PRNGKey(3)
+        x0 = jnp.asarray([0.0, 0.0, np.pi / 4], dtype=dtype) + 0.05 * jax.random.normal(key, (B, 3), dtype=dtype)
+        b0 = aug.init_b0(x0, bp)
+        x_hat0 = jnp.concatenate([x0, b0[:, None]], axis=-1)
+        U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (B, N, 2), dtype=dtype)
+
+        if tracking:
+            ks = jnp.arange(N + 1, dtype=dtype)
+            X_ref1 = jnp.stack([0.05 * ks, 0.04 * ks, jnp.full(N + 1, np.pi / 4, dtype=dtype)], axis=-1)
+            X_ref = jnp.broadcast_to(X_ref1[None], (B, N + 1, 3))
+            U_ref = jnp.broadcast_to(jnp.asarray([5.0, 0.1], dtype=dtype)[None, None], (B, N, 2))
+            ocp = make_aux_ocp(system, aug)
+            thetas = AuxTheta(w=w, bp=bp, X_ref=X_ref1, U_ref=U_ref[0])
+            X_x, U_x = jax.vmap(lambda xh, uu: ilqr_solve(ocp, cfg, thetas, xh, uu))(x_hat0, U0)
+        else:
+            target = jnp.asarray([10.0, 10.0, np.pi / 4], dtype=dtype)
+            X_ref = jnp.broadcast_to(target[None, None], (B, N + 1, 3))
+            U_ref = jnp.zeros((B, N, 2), dtype=dtype)
+            ocp = make_nominal_ocp(system, aug, target)
+            theta = NominalTheta(w=w, bp=bp)
+            X_x, U_x = jax.vmap(lambda xh, uu: ilqr_solve(ocp, cfg, theta, xh, uu))(x_hat0, U0)
+
+        X_l, U_l = tube_ilqr_solve_lanes(
+            pb, cfg, w=w, bp=bp, x_hat0=x_hat0, U_init=U0,
+            X_ref=X_ref, U_ref=U_ref, block_b=128, interpret=True,
+        )
+        return (X_x, U_x), (X_l, U_l)
+
+    def test_goal_tracking_exact_f64(self):
+        (X_x, U_x), (X_l, U_l) = self._solve_both(tracking=False, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-12, atol=1e-13)
+
+    def test_reference_tracking_exact_f64(self):
+        (X_x, U_x), (X_l, U_l) = self._solve_both(tracking=True, dtype=jnp.float64)
+        np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-12, atol=1e-13)
+        np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-12, atol=1e-13)
+
+    def test_goal_tracking_f32_close(self):
+        # f32 op-order round-off amplifies through the iterative solve; the f64 check
+        # above pins exact semantics, this one pins the f32 noise envelope.
+        (X_x, U_x), (X_l, U_l) = self._solve_both(tracking=False, dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=0.05, atol=5e-3)

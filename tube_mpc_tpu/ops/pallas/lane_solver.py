@@ -1,0 +1,401 @@
+"""Lane-major fused iLQR solver for tube-MPC problems (the flagship TPU fast path).
+
+Motivation (measured, see BASELINE.md): the feature-last vmapped solver stores every
+4×4 matrix in an (8,128) tile — a 64× density loss — capping one chip at ~22k
+solves/s. Here every state/control COMPONENT is a dense [B]-lane row and the three hot
+phases are fused Pallas kernels (SURVEY.md §2a items 1–4 in one design):
+
+  K_lin  — per-k linearization: augmented dynamics Jacobians via basis-tangent JVPs of
+           the component step (ops/lanes.py), plus exact diagonal-quadratic cost
+           gradients. Horizon-parallel grid.
+  K_ric  — the Riccati backward recursion: grid-sequential k with the value function
+           carried in VMEM scratch; closed-form nu∈{1,2} solves; diagonal cost
+           Hessians come in as broadcast const rows (zero l_ux for tube costs).
+  K_fwd  — the line search: ALL alpha candidates advance together in one sequential
+           forward pass, per-candidate states in scratch, candidate costs accumulated
+           directly in a revisited output block. Terminal cost added at the last step.
+
+The XLA layer around them does the per-lane convergence while_loop, the argmin
+candidate selection, and the entry/exit transposes between the public [B, ...]
+feature-last API and the internal [.., B] lane layout.
+
+Solver semantics are identical to solvers/ilqr.ilqr_solve (reference
+``core/ddp.py:102-307``): hard clamping, best-of-ladder with first-min tie-break,
+|Δcost| < tol convergence per lane (frozen lanes stop updating). Tested for
+equivalence against the vmapped reference solver.
+
+Restrictions: nu ∈ {1, 2}; tube-MPC cost structure (diagonal quadratic tracking +
+barrier weight); component-form dynamics (ops/lanes.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..dbas import BarrierParams
+from ..lanes import jac_rows
+
+
+@dataclasses.dataclass(frozen=True)
+class LaneProblem:
+    """Static description of a lane-major tube OCP."""
+
+    n: int       # physical state dim
+    m: int       # control dim
+    f_hat: Callable  # (x_hat_rows [n+1], u_rows [m], BarrierParams-of-rows) -> rows
+    u_min: Tuple[float, ...]
+    u_max: Tuple[float, ...]
+
+    @property
+    def n_hat(self) -> int:
+        return self.n + 1
+
+
+# const-row layout (built by tube/lane_interface._build_C):
+#   [0:n̂] stage diag (2Q.., 2qb) | [n̂:n̂+m] 2R | [n̂+m:2n̂+m] terminal diag
+#   (2Qf.., 2qb) | alpha | gamma | tight
+def _bp_from_C(pb: LaneProblem, C_ref):
+    nh, m = pb.n_hat, pb.m
+    base = 2 * nh + m
+    return BarrierParams(alpha=C_ref[base, :], gamma=C_ref[base + 1, :], tight=C_ref[base + 2, :])
+
+
+# ---------------------------------------------------------------------------
+# K_lin — horizon-parallel linearization.
+# ---------------------------------------------------------------------------
+
+def _lin_kernel(pb: LaneProblem,
+                X_ref, U_ref, Xr_ref, Ur_ref, C_ref,
+                A_out, B_out, lx_out, lu_out):
+    nh, m = pb.n_hat, pb.m
+    xs = tuple(X_ref[0, i, :] for i in range(nh))
+    us = tuple(U_ref[0, a, :] for a in range(m))
+    bp = _bp_from_C(pb, C_ref)
+
+    A, B = jac_rows(lambda xx, uu: pb.f_hat(xx, uu, bp), xs, us)
+    for i in range(nh):
+        for j in range(nh):
+            A_out[0, i * nh + j, :] = A[i][j]
+        for a in range(m):
+            B_out[0, i * m + a, :] = B[i][a]
+
+    # l_x = 2Q ⊙ (x - ref) (barrier row ref = 0) ; l_u = 2R ⊙ (u - uref)
+    for i in range(nh):
+        lx_out[0, i, :] = C_ref[i, :] * (xs[i] - Xr_ref[0, i, :])
+    for a in range(m):
+        lu_out[0, a, :] = C_ref[nh + a, :] * (us[a] - Ur_ref[0, a, :])
+
+
+# ---------------------------------------------------------------------------
+# K_ric — backward Riccati with diagonal cost Hessians (l_ux = 0).
+# ---------------------------------------------------------------------------
+
+def _ric_kernel(pb: LaneProblem, reg: float,
+                A_ref, B_ref, lx_ref, lu_ref, C_ref, phix_ref,
+                K_out, kff_out, Vx, Vxx):
+    nh, m = pb.n_hat, pb.m
+    kidx = pl.program_id(1)
+
+    @pl.when(kidx == 0)
+    def _init():
+        for i in range(nh):
+            Vx[i, :] = phix_ref[i, :]
+            for j in range(nh):
+                Vxx[i * nh + j, :] = jnp.where(i == j, C_ref[nh + m + i, :], 0.0)
+
+    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
+    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
+    lx = [lx_ref[0, i, :] for i in range(nh)]
+    lu = [lu_ref[0, a, :] for a in range(m)]
+    vx = [Vx[i, :] for i in range(nh)]
+    vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
+
+    Qx = [lx[i] + sum(A[j][i] * vx[j] for j in range(nh)) for i in range(nh)]
+    Qu = [lu[a] + sum(Bm[j][a] * vx[j] for j in range(nh)) for a in range(m)]
+    VA = [[sum(vxx[i][l] * A[l][j] for l in range(nh)) for j in range(nh)] for i in range(nh)]
+    VB = [[sum(vxx[i][l] * Bm[l][a] for l in range(nh)) for a in range(m)] for i in range(nh)]
+    # diagonal stage Hessians: lxx = diag(C[0:nh]), luu = diag(C[nh:nh+m]), lux = 0
+    Qxx = [[(C_ref[i, :] if i == j else 0.0) + sum(A[l][i] * VA[l][j] for l in range(nh))
+            for j in range(nh)] for i in range(nh)]
+    Qux = [[sum(Bm[l][a] * VA[l][i] for l in range(nh)) for i in range(nh)] for a in range(m)]
+    Quu = [[(C_ref[nh + a, :] if a == b else 0.0) + sum(Bm[l][a] * VB[l][b] for l in range(nh))
+            for b in range(m)] for a in range(m)]
+
+    if m == 1:
+        inv = [[1.0 / (Quu[0][0] + reg)]]
+    elif m == 2:
+        q00 = Quu[0][0] + reg
+        q11 = Quu[1][1] + reg
+        q01, q10 = Quu[0][1], Quu[1][0]
+        det_inv = 1.0 / (q00 * q11 - q01 * q10)
+        inv = [[q11 * det_inv, -q01 * det_inv], [-q10 * det_inv, q00 * det_inv]]
+    else:  # pragma: no cover
+        raise NotImplementedError("lane solver supports nu in {1, 2}")
+
+    K = [[-sum(inv[a][b] * Qux[b][i] for b in range(m)) for i in range(nh)] for a in range(m)]
+    kf = [-sum(inv[a][b] * Qu[b] for b in range(m)) for a in range(m)]
+
+    for a in range(m):
+        kff_out[0, a, :] = kf[a]
+        for i in range(nh):
+            K_out[0, a * nh + i, :] = K[a][i]
+
+    Quu_k = [sum(Quu[a][b] * kf[b] for b in range(m)) for a in range(m)]
+    QuuK = [[sum(Quu[a][b] * K[b][j] for b in range(m)) for j in range(nh)] for a in range(m)]
+    vx_new = [
+        Qx[i]
+        + sum(K[a][i] * (Quu_k[a] + Qu[a]) for a in range(m))
+        + sum(Qux[a][i] * kf[a] for a in range(m))
+        for i in range(nh)
+    ]
+    vxx_new = [
+        [
+            Qxx[i][j]
+            + sum(K[a][i] * QuuK[a][j] for a in range(m))
+            + sum(K[a][i] * Qux[a][j] for a in range(m))
+            + sum(Qux[a][i] * K[a][j] for a in range(m))
+            for j in range(nh)
+        ]
+        for i in range(nh)
+    ]
+    for i in range(nh):
+        Vx[i, :] = vx_new[i]
+        for j in range(nh):
+            Vxx[i * nh + j, :] = vxx_new[i][j]
+
+
+# ---------------------------------------------------------------------------
+# K_fwd — multi-alpha closed-loop rollout with in-kernel cost accumulation.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(pb: LaneProblem, alphas: Tuple[float, ...], n_steps: int,
+                x0_ref, Xo_ref, Uo_ref, K_ref, kff_ref, Xr_ref, XrN_ref, Ur_ref, C_ref,
+                Xn_out, Un_out, cost_out, xs_scr):
+    nh, m = pb.n_hat, pb.m
+    na = len(alphas)
+    kidx = pl.program_id(1)
+    bp = _bp_from_C(pb, C_ref)
+
+    @pl.when(kidx == 0)
+    def _init():
+        for a in range(na):
+            for i in range(nh):
+                xs_scr[a * nh + i, :] = x0_ref[i, :]
+        cost_out[:, :] = jnp.zeros_like(cost_out)
+
+    xo = [Xo_ref[0, i, :] for i in range(nh)]
+    uo = [Uo_ref[0, c, :] for c in range(m)]
+    Kk = [[K_ref[0, c * nh + i, :] for i in range(nh)] for c in range(m)]
+    kf = [kff_ref[0, c, :] for c in range(m)]
+    xr = [Xr_ref[0, i, :] for i in range(nh)]
+    ur = [Ur_ref[0, c, :] for c in range(m)]
+
+    for a, alpha in enumerate(alphas):
+        x_a = tuple(xs_scr[a * nh + i, :] for i in range(nh))
+        du = [kf[c] + sum(Kk[c][i] * (x_a[i] - xo[i]) for i in range(nh)) for c in range(m)]
+        u_a = tuple(
+            jnp.clip(uo[c] + alpha * du[c], pb.u_min[c], pb.u_max[c]) for c in range(m)
+        )
+        # stage cost = 0.5 * Σ C_i (x_i - ref_i)^2 + 0.5 * Σ C_{nh+c} (u_c - uref_c)^2
+        stage = sum(0.5 * C_ref[i, :] * (x_a[i] - xr[i]) ** 2 for i in range(nh)) + sum(
+            0.5 * C_ref[nh + c, :] * (u_a[c] - ur[c]) ** 2 for c in range(m)
+        )
+        cost_out[a, :] += stage
+
+        x_next = pb.f_hat(x_a, u_a, bp)
+        for i in range(nh):
+            Xn_out[0, a * nh + i, :] = x_next[i]
+            xs_scr[a * nh + i, :] = x_next[i]
+        for c in range(m):
+            Un_out[0, a * m + c, :] = u_a[c]
+
+        @pl.when(kidx == n_steps - 1)
+        def _terminal():
+            term = sum(
+                0.5 * C_ref[nh + m + i, :] * (x_next[i] - XrN_ref[i, :]) ** 2
+                for i in range(nh)
+            )
+            cost_out[a, :] += term
+
+
+# ---------------------------------------------------------------------------
+# XLA glue: full solver.
+# ---------------------------------------------------------------------------
+
+def _pad_lanes(x: Array, B_pad: int) -> Array:
+    pad = B_pad - x.shape[-1]
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    return x
+
+
+def lane_ilqr_solve(
+    pb: LaneProblem,
+    *,
+    x_hat0: Array,   # [n̂, B] rows
+    U0: Array,       # [N, m, B] rows (already clamped)
+    X0: Array,       # [N+1, n̂, B] rows (rollout of U0)
+    X_ref: Array,    # [N+1, n̂, B] rows (barrier row = 0)
+    U_ref: Array,    # [N, m, B]
+    C: Array,        # [nc, B] const rows
+    max_iter: int,
+    tol: float,
+    reg: float,
+    alphas: Tuple[float, ...],
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows."""
+    nh, m = pb.n_hat, pb.m
+    N = U0.shape[0]
+    B = U0.shape[-1]
+    na = len(alphas)
+    dtype = U0.dtype
+
+    Bt = min(block_b, 512)
+    B_pad = ((B + Bt - 1) // Bt) * Bt
+    nb = B_pad // Bt
+
+    x_hat0 = _pad_lanes(x_hat0, B_pad)
+    U0 = _pad_lanes(U0, B_pad)
+    X0 = _pad_lanes(X0, B_pad)
+    X_ref = _pad_lanes(X_ref, B_pad)
+    U_ref = _pad_lanes(U_ref, B_pad)
+    C = _pad_lanes(C, B_pad)
+    # keep padded lanes numerically sane: unit stage/terminal weights
+    if B_pad != B:
+        ones_pad = jnp.concatenate(
+            [jnp.zeros((C.shape[0], B), dtype), jnp.ones((C.shape[0], B_pad - B), dtype)], axis=-1
+        )
+        C = jnp.where(ones_pad > 0, 1.0, C)
+
+    kb = lambda b, k: (k, 0, b)            # forward per-k blocks
+    kb_rev = lambda b, k: (N - 1 - k, 0, b)  # backward per-k blocks
+    fixed = lambda b, k: (0, b)
+
+    lin = pl.pallas_call(
+        functools.partial(_lin_kernel, pb),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nh * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, nh * m, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    ric = pl.pallas_call(
+        functools.partial(_ric_kernel, pb, float(reg)),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, nh * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh * m, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # phi_x rows
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, m * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nh, Bt), dtype),
+            pltpu.VMEM((nh * nh, Bt), dtype),
+        ],
+        interpret=interpret,
+    )
+
+    fwd = pl.pallas_call(
+        functools.partial(_fwd_kernel, pb, tuple(alphas), N),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # x0
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_old[:N]
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_old
+            pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),   # K
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # kff
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, na * nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, na * m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((na, Bt), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, na * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, na * m, B_pad), dtype),
+            jax.ShapeDtypeStruct((na, B_pad), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((na * nh, Bt), dtype)],
+        interpret=interpret,
+    )
+
+    nc = C.shape[0]
+    term_rows = jax.lax.dynamic_slice_in_dim(C, nh + m, nh, axis=0)  # [nh, B]
+
+    def body(carry):
+        it, X, U, prev_cost, done = carry
+        A, Bm, lx, lu = lin(X[:-1], U, X_ref[:-1], U_ref, C)
+        phix = term_rows * (X[-1] - X_ref[-1])
+        K, kff = ric(A, Bm, lx, lu, C, phix)
+        Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
+
+        best = jnp.argmin(costs, axis=0)                    # [B_pad]
+        best_cost = jnp.min(costs, axis=0)                  # [B_pad]
+        # gather the winning candidate per lane
+        Xn_r = Xn.reshape(N, na, nh, B_pad)
+        Un_r = Un.reshape(N, na, m, B_pad)
+        sel = jax.nn.one_hot(best, na, dtype=dtype, axis=0)  # [na, B_pad]
+        X_new_tail = jnp.sum(Xn_r * sel[None, :, None, :], axis=1)
+        U_new = jnp.sum(Un_r * sel[None, :, None, :], axis=1)
+        X_new = jnp.concatenate([x_hat0[None], X_new_tail], axis=0)
+
+        live = ~done
+        X = jnp.where(live[None, None, :], X_new, X)
+        U = jnp.where(live[None, None, :], U_new, U)
+        new_done = done | (jnp.abs(prev_cost - best_cost) < tol)
+        prev_cost = jnp.where(live, best_cost, prev_cost)
+        return it + 1, X, U, prev_cost, new_done
+
+    def cond(carry):
+        it, _, _, _, done = carry
+        return (it < max_iter) & (~jnp.all(done))
+
+    init = (
+        jnp.asarray(0),
+        X0,
+        U0,
+        jnp.full((B_pad,), jnp.inf, dtype=dtype),
+        jnp.zeros((B_pad,), dtype=bool),
+    )
+    _, X, U, _, _ = jax.lax.while_loop(cond, body, init)
+    return X[..., :B], U[..., :B]

@@ -118,6 +118,14 @@ def ilqr_solve(
 
     vmap over (theta, x0, U_init) for scenario batches; jit/shard_map compose freely.
     """
+    with jax.default_matmul_precision("highest"):
+        return _ilqr_solve_impl(ocp, cfg, theta, x0, U_init)
+
+
+def _ilqr_solve_impl(ocp, cfg, theta, x0, U_init):
+    # NOTE on precision: TPU MXU matmuls default to bf16 multiplies; on the 4x4/2x4
+    # Riccati algebra that injects ~1e-2 absolute error per sweep (measured vs f64 —
+    # see BASELINE.md). The solver always traces under matmul precision "highest".
     dtype = x0.dtype
     U0 = ocp.clamp(U_init)
     X0 = rollout(ocp, theta, x0, U0)

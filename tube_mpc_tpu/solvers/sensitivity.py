@@ -44,6 +44,13 @@ def ddp_sensitivity(
     custom_vjp backward receives, which is how this doubles as the reference's
     ``upper_grad_x/u/xN`` callback interface (``ddp.py:326-328``).
     """
+    with jax.default_matmul_precision("highest"):  # see ilqr.py precision note
+        return _ddp_sensitivity_impl(
+            ocp, theta, X, U, g_X, g_U, reg=reg, active_tol=active_tol
+        )
+
+
+def _ddp_sensitivity_impl(ocp, theta, X, U, g_X, g_U, *, reg, active_tol):
     N, nu = U.shape
     ks = jnp.arange(N)
     f_jac = ocp.jac_fn()

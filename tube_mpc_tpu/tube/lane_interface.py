@@ -1,0 +1,133 @@
+"""Public interface to the lane-major fused Pallas solver for tube-MPC problems.
+
+Bridges the feature-last [B, ...] API to the [.., B] lane layout: builds the
+LaneProblem from a ComponentSystem (ops/lanes.py), packs weights/barrier params into
+const rows, transposes operands once at entry and back once at exit.
+
+`tube_ilqr_solve_lanes` is semantically equivalent to
+`vmap(ilqr_solve)` on `make_nominal_ocp`/`make_aux_ocp` problems (tested), at a
+fraction of the on-chip cost (dense lanes instead of 64x-padded tiles).
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..ops.costs import CostWeights
+from ..ops.dbas import BarrierParams
+from ..ops.lanes import ComponentSystem, augmented_step_fn, init_b0_fn
+from ..ops.pallas.lane_solver import LaneProblem, lane_ilqr_solve
+from ..solvers.ilqr import ILQRConfig
+
+
+def make_lane_problem(
+    sys_c: ComponentSystem, *, barrier_type: str = "inverse", eps: float = 1e-6
+) -> LaneProblem:
+    f_hat = augmented_step_fn(sys_c, barrier_type=barrier_type, eps=eps)
+    return LaneProblem(
+        n=sys_c.n, m=sys_c.m, f_hat=f_hat, u_min=sys_c.u_min, u_max=sys_c.u_max
+    )
+
+
+def _rows(x: Array) -> Array:
+    """[B, ..., d] feature-last -> [..., d, B] lane-major."""
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _unrows(x: Array) -> Array:
+    return jnp.moveaxis(x, -1, 0)
+
+
+def tube_ilqr_solve_lanes(
+    pb: LaneProblem,
+    cfg: ILQRConfig,
+    *,
+    w: CostWeights,
+    bp: BarrierParams,
+    x_hat0: Array,            # [B, n̂]
+    U_init: Array,            # [B, N, m]
+    X_ref: Array,             # [B, N+1, n]  (or [N+1, n] broadcast: goal tracking)
+    U_ref: Array,             # [B, N, m]    (or [N, m] broadcast)
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Solve B tube OCPs at once with the fused lane kernels.
+
+    Returns (X_hat [B, N+1, n̂], U [B, N, m]). Clamping, alpha-ladder selection and
+    per-lane convergence reproduce solvers/ilqr.ilqr_solve.
+    """
+    B, N, m = U_init.shape
+    nh = pb.n_hat
+    dtype = x_hat0.dtype
+
+    if X_ref.ndim == 2:
+        X_ref = jnp.broadcast_to(X_ref[None], (B,) + X_ref.shape)
+    if U_ref.ndim == 2:
+        U_ref = jnp.broadcast_to(U_ref[None], (B,) + U_ref.shape)
+
+    # augment refs with a zero barrier row so ref indexing matches x̂
+    Xr_hat = jnp.concatenate([X_ref, jnp.zeros(X_ref.shape[:-1] + (1,), dtype=dtype)], axis=-1)
+
+    # clamp warm start + initial rollout (lane-major scan; once per solve)
+    u_min = jnp.asarray(pb.u_min, dtype=dtype)
+    u_max = jnp.asarray(pb.u_max, dtype=dtype)
+    U0 = jnp.clip(U_init, u_min, u_max)
+
+    U0_r = _rows(U0)          # [N, m, B]
+    x0_r = _rows(x_hat0)      # [n̂, B]
+
+    def roll_step(x_rows, u_rows):
+        xs = tuple(x_rows[i] for i in range(nh))
+        us = tuple(u_rows[a] for a in range(m))
+        xn = pb.f_hat(xs, us, bp)
+        xn = jnp.stack(xn, axis=0)
+        return xn, xn
+
+    _, X_tail = jax.lax.scan(roll_step, x0_r, U0_r)
+    X0_r = jnp.concatenate([x0_r[None], X_tail], axis=0)   # [N+1, n̂, B]
+
+    # pack weights / barrier params into const rows (per-lane values supported)
+    C = _build_C(pb, w, bp, B, dtype)
+
+    X_r, U_r = lane_ilqr_solve(
+        pb,
+        x_hat0=x0_r,
+        U0=U0_r,
+        X0=X0_r,
+        X_ref=_rows(Xr_hat),
+        U_ref=_rows(U_ref),
+        C=C,
+        max_iter=cfg.max_iter,
+        tol=cfg.tol,
+        reg=cfg.reg,
+        alphas=cfg.alphas,
+        block_b=block_b,
+        interpret=interpret,
+    )
+    return _unrows(X_r), _unrows(U_r)
+
+
+def _build_C(pb: LaneProblem, w: CostWeights, bp: BarrierParams, B: int, dtype) -> Array:
+    """Const rows [nc, B]; vector weights may be shared [d] or per-lane [B, d];
+    scalar params (qb, alpha, gamma, tight) may be scalar or per-lane [B]."""
+
+    def comp(v, i) -> Array:
+        v = jnp.asarray(v, dtype=dtype)
+        if v.ndim == 2:      # [B, d] per-lane
+            return v[:, i]
+        return jnp.broadcast_to(v[i], (B,))  # [d] shared
+
+    def scal(v) -> Array:
+        v = jnp.asarray(v, dtype=dtype)
+        return jnp.broadcast_to(v, (B,))     # scalar or per-lane [B]
+
+    rows = (
+        [2.0 * comp(w.Q, i) for i in range(pb.n)] + [2.0 * scal(w.qb)]
+        + [2.0 * comp(w.R, a) for a in range(pb.m)]
+        + [2.0 * comp(w.Qf, i) for i in range(pb.n)] + [2.0 * scal(w.qb)]
+        + [scal(bp.alpha), scal(bp.gamma), scal(bp.tight)]
+    )
+    return jnp.stack(rows, axis=0)
