@@ -1,52 +1,76 @@
 """Headline benchmark: tube-MPC solves/sec/chip on the Dubins paper workload (N=50).
 
-Runs B independent adaptive closed loops (the full per-step pipeline: nominal iLQR +
-ancillary iLQR + Algorithm-2 IFT gradient + projected momentum update + disturbed
-step), vmapped on one chip in float32, and reports iLQR solves per second
-(2 solves per closed-loop step per scenario, matching how BASELINE.md counts the
-reference's work: tube_mpc.py:803-996 does 2 solves/step).
+Runs B adaptive closed loops on the lane-major fused Pallas pipeline
+(tube/lane_closed_loop.py): per closed-loop step each scenario does a nominal iLQR
+solve + an ancillary iLQR solve (fused lane kernels), the O(T) DDP sensitivity, the
+closed-form Algorithm-2 gradient and the projected momentum update, then the disturbed
+step — all inside one jitted lax.scan, float32.
 
-vs_baseline is measured against the PyTorch reference on this machine's CPU:
-0.956 solves/sec (configs/dubins.yaml at H=20, float64, single thread — measured with
-tools/measure_reference.py; see BASELINE.md).
+Counted work: 2 iLQR solves per closed-loop step per scenario (how BASELINE.md counts
+the reference: tube_mpc.py:803-996). vs_baseline is against the PyTorch reference on
+this machine's CPU: 0.956 solves/s (tools/measure_reference.py; BASELINE.md).
 
-Prints ONE JSON line.
+Prints ONE JSON line. Env knobs: BENCH_B (batch), BENCH_H (steps), BENCH_PATH=xla for
+the non-Pallas path.
 """
 import json
+import os
 import time
 
-REF_CPU_SOLVES_PER_SEC = 0.956  # measured, see BASELINE.md / tools/measure_reference.py
+REF_CPU_SOLVES_PER_SEC = 0.956  # measured; see BASELINE.md / tools/measure_reference.py
 
 
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
-    from tube_mpc_tpu.presets import dubins_paper_setup
+    from tube_mpc_tpu.ops.lanes import dubins_components
+    from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
     from tube_mpc_tpu.tube.closed_loop import run_paper_closed_loop
+    from tube_mpc_tpu.tube.lane_closed_loop import run_paper_closed_loop_lanes
 
-    B = 128   # scenarios vmapped on the chip
-    H = 16    # closed-loop steps per scenario (steady-state timing window)
+    B = int(os.environ.get("BENCH_B", 8192))
+    H = int(os.environ.get("BENCH_H", 16))
+    path = os.environ.get("BENCH_PATH", "lanes")
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
 
-    def one(key):
-        log = run_paper_closed_loop(
-            s.system, s.aug, s.cfg,
-            w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
-            x0=s.x0, target=s.target, key=key,
+    if path == "lanes":
+        sys_c = dubins_components(
+            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+            centers=PAPER_OBSTACLES, radii=[1.0] * len(PAPER_OBSTACLES),
+            aggregation="smoothmin", beta=20.0,
         )
-        return log.u_real, log.loss
 
-    run = jax.jit(jax.vmap(one))
-    keys = jax.random.split(jax.random.PRNGKey(0), B)
+        def run(w_seqs):
+            log = run_paper_closed_loop_lanes(
+                s.system, s.aug, sys_c, s.cfg,
+                w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+                x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+            )
+            return log.u_real, log.loss
 
-    # compile + warmup
-    u, loss = run(keys)
-    jax.block_until_ready((u, loss))
+        w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(0), (B, H), dtype=jnp.float32)
+        fn = jax.jit(run)
+        args = (w_seqs,)
+    else:
+        def one(key):
+            log = run_paper_closed_loop(
+                s.system, s.aug, s.cfg,
+                w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+                x0=s.x0, target=s.target, key=key,
+            )
+            return log.u_real, log.loss
+
+        fn = jax.jit(jax.vmap(one))
+        args = (jax.random.split(jax.random.PRNGKey(0), B),)
+
+    out = fn(*args)  # compile + warmup
+    jax.block_until_ready(out)
 
     t0 = time.perf_counter()
-    u, loss = run(keys)
-    jax.block_until_ready((u, loss))
+    out = fn(*args)
+    jax.block_until_ready(out)
     elapsed = time.perf_counter() - t0
 
     solves = 2 * H * B

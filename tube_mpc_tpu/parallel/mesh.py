@@ -42,3 +42,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def pad_to_multiple(n: int, k: int) -> int:
     return ((n + k - 1) // k) * k
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up: `jax.distributed.initialize` with env-var fallbacks.
+
+    After this, jax.devices() spans the whole slice and make_mesh()/shard_map code runs
+    unchanged across hosts (the scenario axis rides ICI within a host group and DCN
+    between hosts). Returns the global device count. On single-host setups this is a
+    no-op returning local device count.
+    """
+    import os
+
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return len(jax.devices())
