@@ -19,7 +19,6 @@ from typing import Tuple
 import jax.numpy as jnp
 from jax import Array
 
-from ..tube.params import AuxAdapt
 from .sensitivity import SensitivityResult
 
 
@@ -29,7 +28,9 @@ def grads_aux_from_deltas(
     X_ref: Array,    # [..., N+1, nx] nominal references (physical part)
     U_ref: Array,    # [..., N, nu]
     sens: SensitivityResult,
-) -> AuxAdapt:
+):
+    from ..tube.params import AuxAdapt  # deferred: tube imports solvers at load time
+
     nx = X_ref.shape[-1]
     dx = X_aux[..., :nx] - X_ref
     du = U_aux - U_ref
