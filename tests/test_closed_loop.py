@@ -177,3 +177,109 @@ class TestGenericPathRuns:
         # both parameter sets moved (lr is tiny here; any nonzero drift counts)
         assert np.max(np.abs(np.asarray(raw_aux_f.Q_raw) - np.asarray(raw_aux.Q_raw))) > 0
         assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0
+
+
+# ---------------------------------------------------------------------------
+# Generic-path agreement vs the reference run_closed_loop_experiment
+# (paper_dubins_mode=False → tube_mpc.py:40-663), including the inner adaptation
+# loop adapt_steps>1 (tube_mpc.py:407): repeated (δz → IFT grad → θ update) on the
+# FIXED trajectories of the step's solves.
+# ---------------------------------------------------------------------------
+
+GN, GH = 10, 6
+GEN_EPS = 1e-6  # equal to the reference DBaSConfig default, so the generic path's
+                # solve-vs-jacobian eps inconsistency (tube_mpc.py:277 vs 316) vanishes
+GEN_ALPHAS = (1.0, 0.5, 0.25, 0.1)  # reference ILQRConfig default ladder (ddp.py:20);
+                                    # the generic path never reads the YAML alphas
+
+
+def _ref_generic_cfg(steps: int):
+    cfg = _ref_cfg()
+    cfg["paper_dubins_mode"] = False
+    cfg["system"]["horizon_N"] = GN
+    cfg["system"]["task_horizon_H"] = GH
+    cfg["dbas"]["eps"] = GEN_EPS
+    cfg["adaptation"] = {
+        "lr_eta": 5e-2, "steps": steps, "momentum": 0.9,
+        "adapt_nominal": False, "adapt_ancillary": True,
+        "project_params": True,
+    }
+    return cfg
+
+
+def _run_ref_generic(steps: int, tmp_path) -> dict:
+    from reference_harness import import_reference
+
+    import_reference()
+    import torch
+    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+
+    torch.manual_seed(0)
+    np.random.seed(0)
+    run_dir = str(tmp_path / f"refgen{steps}")
+    run_closed_loop_experiment(_ref_generic_cfg(steps), device=torch.device("cpu"), run_dir=run_dir)
+    return {
+        name: np.load(f"{run_dir}/{name}.npy")
+        for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss",
+                     "Qa_history", "Ra_history", "qba_history"]
+    }
+
+
+class TestGenericPathAgreement:
+    @pytest.mark.parametrize("steps", [1, 2])
+    def test_generic_matches_reference(self, steps, tmp_path):
+        ref = _run_ref_generic(steps, tmp_path)
+        w_seq = jnp.asarray(_recover_disturbances(ref["x_real"], ref["u_real"]), dtype=F64)
+
+        field = CircleField(
+            centers=jnp.asarray([list(c) for c in OBS], dtype=F64),
+            radii=jnp.ones((len(OBS),), dtype=F64),
+        )
+        system = make_dubins(DubinsConfig(dt=0.01), obstacles=field,
+                             aggregation="smoothmin", beta=BETA, dtype=F64)
+        from tube_mpc_tpu.ops.dbas import make_augmented as _mk
+        aug = _mk(system, barrier_type="inverse", eps=GEN_EPS)
+        cfg = TubeMPCConfig(
+            N=GN, H=GH,
+            nominal_max_iter=10, aux_max_iter=20,
+            tol=1e-6, reg=1e-6, alphas=GEN_ALPHAS,
+            adapt=AdaptConfig(lr=5e-2, momentum=0.9, steps=steps, project=True),
+            adapt_nominal=False, adapt_ancillary=True,
+        )
+        # Reference inits raw params with the CONFIG VALUES as raws (tube_mpc.py:106-132):
+        # nominal raw = cost_nominal values; aux raw = cost_nominal Q/R/Qf + cost_auxiliary q_b.
+        raw_nom = RawNominalTheta(
+            Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
+            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+            Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
+            qb_raw=jnp.asarray(1.0, dtype=F64),
+            alpha_raw=jnp.asarray(0.0, dtype=F64),
+            gamma_raw=jnp.asarray(0.0, dtype=F64),
+            tight_raw=jnp.asarray(0.0, dtype=F64),
+        )
+        raw_aux = RawAuxTheta(
+            Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
+            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+            Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
+            qb_raw=jnp.asarray(1.0, dtype=F64),
+            alpha_raw=jnp.asarray(0.0, dtype=F64),
+            gamma_raw=jnp.asarray(0.0, dtype=F64),
+        )
+        log, _ = jax.jit(
+            lambda w: run_generic_closed_loop(
+                system, aug, cfg,
+                raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+                x0=jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F64),
+                target=jnp.asarray([10.0, 10.0, np.pi / 4], dtype=F64),
+                w_seq=w,
+            )
+        )(w_seq)
+
+        u_ours, u_ref = np.asarray(log.u_real), ref["u_real"]
+        agreement = 1.0 - np.linalg.norm(u_ours - u_ref) / np.linalg.norm(u_ref)
+        assert agreement >= 0.999, f"steps={steps}: agreement={agreement}"
+        np.testing.assert_allclose(np.asarray(log.x_real), ref["x_real"], rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.loss), ref["loss"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.Q_hist), ref["Qa_history"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.R_hist), ref["Ra_history"], rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.qb_hist), ref["qba_history"], rtol=1e-5, atol=1e-8)

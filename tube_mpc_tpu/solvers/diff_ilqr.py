@@ -35,6 +35,24 @@ from .ocp import OCP
 from .sensitivity import ddp_sensitivity
 
 
+def _implicit_bwd(ocp: OCP, sens_reg: float, active_tol: float,
+                  theta, x0, X, U, g_X, g_U):
+    """Shared backward pass: DDP sensitivity + IFT accumulation at a KKT point (X, U).
+
+    Returns (g_theta, g_x0). Used both by the solver VJP and by the fixed-trajectory
+    re-gradient (the reference's inner adaptation loop, ``tube_mpc.py:407-604``)."""
+    sens = ddp_sensitivity(
+        ocp, theta, X, U, g_X, g_U, reg=sens_reg, active_tol=active_tol
+    )
+    # ∇_θ L: one jax.grad of the IFT accumulation over the theta pytree.
+    g_theta = jax.grad(
+        lambda th: ift_accumulate(ocp, th, X, U, sens, x0_fn=None)
+    )(theta)
+    # ∇_{x0} L = δλ_0 (the ξ_θᵀ δλ_0 term with ξ = x0).
+    g_x0 = sens.delta_lambda[0]
+    return g_theta, g_x0
+
+
 def make_diff_ilqr(ocp: OCP, cfg: ILQRConfig, *, sens_reg: float = 1e-9,
                    active_tol: float = 1e-8):
     """Return solve(theta, x0, U_init) -> (X, U), differentiable w.r.t. theta and x0.
@@ -54,17 +72,41 @@ def make_diff_ilqr(ocp: OCP, cfg: ILQRConfig, *, sens_reg: float = 1e-9,
     def solve_bwd(res, cotangents):
         theta, x0, X, U, U_init = res
         g_X, g_U = cotangents
-        sens = ddp_sensitivity(
-            ocp, theta, X, U, g_X, g_U, reg=sens_reg, active_tol=active_tol
-        )
-        # ∇_θ L: one jax.grad of the IFT accumulation over the theta pytree.
-        g_theta = jax.grad(
-            lambda th: ift_accumulate(ocp, th, X, U, sens, x0_fn=None)
-        )(theta)
-        # ∇_{x0} L = δλ_0 (the ξ_θᵀ δλ_0 term with ξ = x0).
-        g_x0 = sens.delta_lambda[0]
-        g_U_init = jnp.zeros_like(U_init)
-        return g_theta, g_x0, g_U_init
+        g_theta, g_x0 = _implicit_bwd(ocp, sens_reg, active_tol,
+                                      theta, x0, X, U, g_X, g_U)
+        return g_theta, g_x0, jnp.zeros_like(U_init)
 
     solve.defvjp(solve_fwd, solve_bwd)
     return solve
+
+
+def make_ift_regrad(ocp: OCP, *, sens_reg: float = 1e-9, active_tol: float = 1e-8):
+    """Gradient-at-a-fixed-solution: regrad(theta, x0, X, U) -> (X, U) (identity
+    forward) whose VJP runs the DDP-sensitivity + IFT backward at the GIVEN (X, U)
+    using the GIVEN theta's Hessians.
+
+    TPU-native form of the reference's inner adaptation loop
+    (``tube_mpc.py:407``: ``for _ in range(adapt_steps)``), which repeats
+    (δz solve → IFT gradient → θ update) on the trajectories from the ORIGINAL
+    solves while θ moves between inner iterations. Composing the upper loss on
+    regrad's outputs and calling jax.grad reproduces that semantics — including the
+    coupled nominal chain, since cotangents flow through the fixed aux trajectories
+    into (X_ref, U_ref) and on through the fixed nominal trajectories into θ̄
+    (``tube_mpc.py:505-599``)."""
+
+    @jax.custom_vjp
+    def regrad(theta, x0: Array, X: Array, U: Array) -> Tuple[Array, Array]:
+        return X, U
+
+    def regrad_fwd(theta, x0, X, U):
+        return (X, U), (theta, x0, X, U)
+
+    def regrad_bwd(res, cotangents):
+        theta, x0, X, U = res
+        g_X, g_U = cotangents
+        g_theta, g_x0 = _implicit_bwd(ocp, sens_reg, active_tol,
+                                      theta, x0, X, U, g_X, g_U)
+        return g_theta, g_x0, jnp.zeros_like(X), jnp.zeros_like(U)
+
+    regrad.defvjp(regrad_fwd, regrad_bwd)
+    return regrad

@@ -30,7 +30,7 @@ from jax import Array
 
 from ..ops.costs import CostWeights
 from ..ops.dbas import AugmentedDynamics, BarrierParams
-from ..solvers.diff_ilqr import make_diff_ilqr
+from ..solvers.diff_ilqr import make_diff_ilqr, make_ift_regrad
 from ..solvers.ilqr import ILQRConfig, ilqr_solve
 from ..systems.base import System
 from .params import (
@@ -300,8 +300,10 @@ def run_generic_closed_loop(
     nx = system.nx
     dtype = x0.dtype
     H, N = cfg.H, cfg.N
-    if cfg.adapt.steps != 1:
-        raise NotImplementedError("adapt.steps != 1 not yet supported in the scan driver")
+    if cfg.adapt.steps < 1:
+        # The reference crashes on steps=0 (loss_val never defined, tube_mpc.py:414,624);
+        # make the contract explicit instead.
+        raise ValueError("adapt.steps must be >= 1")
 
     if w_seq is None:
         if key is None:
@@ -312,6 +314,10 @@ def run_generic_closed_loop(
     ocp_aux = make_aux_ocp(system, aug)
     solve_nom = make_diff_ilqr(ocp_nom, cfg.nominal_ilqr())
     solve_aux = make_diff_ilqr(ocp_aux, cfg.aux_ilqr())
+    # Inner adaptation iterations (adapt.steps > 1) re-derive gradients at the FIXED
+    # trajectories from this step's solves while θ moves (reference tube_mpc.py:407).
+    regrad_nom = make_ift_regrad(ocp_nom)
+    regrad_aux = make_ift_regrad(ocp_aux)
 
     b0 = aug.init_b0(x0, BarrierParams(alpha=raw_aux_init.alpha(), gamma=raw_aux_init.gamma(), tight=jnp.zeros_like(raw_aux_init.alpha())))
     bp_nom0 = BarrierParams(alpha=raw_nom_init.alpha(), gamma=raw_nom_init.gamma(), tight=raw_nom_init.tight())
@@ -347,6 +353,32 @@ def run_generic_closed_loop(
             raw_nom, vel_nom = momentum_update(raw_nom, g_nom, vel_nom, cfg.adapt, project_raw)
         if cfg.adapt_ancillary:
             raw_aux, vel_aux = momentum_update(raw_aux, g_aux, vel_aux, cfg.adapt, project_raw)
+
+        # Inner iterations 2..steps: same upper composition, but the "solves" are the
+        # fixed trajectories from above — only the sensitivity/IFT backward reruns with
+        # the updated θ Hessians (reference tube_mpc.py:407-604). Static Python loop;
+        # unrolled into the scan body.
+        def upper_fixed(raws):
+            raw_n, raw_a = raws
+            th_n = _nominal_theta(raw_n)
+            Xn, Un = regrad_nom(th_n, x_hat_bar, X_nom, U_nom)
+            X_ref_f, U_ref_f = Xn[:, :nx], Un
+            if not cfg.adapt_nominal:
+                X_ref_f = jax.lax.stop_gradient(X_ref_f)
+                U_ref_f = jax.lax.stop_gradient(U_ref_f)
+            th_a = _aux_theta(raw_a, X_ref_f, U_ref_f)
+            Xa, _Ua = regrad_aux(th_a, x_hat, X_aux, U_aux)
+            x_nom_f = Xn[:, :nx]
+            if cfg.coupling == "reference":
+                x_nom_f = jax.lax.stop_gradient(x_nom_f)
+            return _upper_loss(Xa, x_nom_f, nx)
+
+        for _ in range(cfg.adapt.steps - 1):
+            g_nom, g_aux = jax.grad(upper_fixed)((raw_nom, raw_aux))
+            if cfg.adapt_nominal:
+                raw_nom, vel_nom = momentum_update(raw_nom, g_nom, vel_nom, cfg.adapt, project_raw)
+            if cfg.adapt_ancillary:
+                raw_aux, vel_aux = momentum_update(raw_aux, g_aux, vel_aux, cfg.adapt, project_raw)
 
         # True + nominal propagation with the POST-update barrier parameters
         # (reference order: update at (C), then step at (D) with db_cfg_aux()).
