@@ -17,7 +17,10 @@ def main() -> None:
     if os.path.exists(cfg_path):
         with open(cfg_path, "r", encoding="utf-8") as f:
             cfg = json.load(f)
-        obstacles = (cfg.get("environment") or {}).get("obstacles")
+        env = cfg.get("environment") or {}
+        obstacles = env.get("obstacles")
+        if not obstacles and "obstacle" in env:  # reference's singular key
+            obstacles = [env["obstacle"]]
 
     from tube_mpc_tpu.plotting import plot_run
 

@@ -27,3 +27,22 @@ def test_config_runs_closed_loop(name, tmp_path):
     assert s["system"] == name
     assert np.isfinite(s["final_loss"])
     assert np.all(np.isfinite(np.asarray(s["final_state"])))
+
+
+def test_singular_obstacle_key(tmp_path):
+    """Reference also accepts environment.obstacle (singular, tube_mpc.py:77-80)."""
+    with open("configs/dubins.yaml", "r", encoding="utf-8") as f:
+        raw = yaml.safe_load(f)
+    raw = copy.deepcopy(raw)
+    raw["use_float64"] = True
+    raw["system"]["horizon_N"] = 6
+    raw["system"]["task_horizon_H"] = 2
+    raw["system"]["nominal_max_iter"] = 3
+    raw["system"]["aux_max_iter"] = 3
+    raw["environment"].pop("obstacles")
+    raw["environment"]["obstacle"] = {"center": [5.0, 5.0], "radius": 1.5}
+    cfg = parse_config(raw)
+    assert len(cfg.environment.obstacles) == 1
+    assert cfg.environment.obstacle_aggregation == "single"
+    out = run_experiment(cfg, str(tmp_path / "single_obs"))
+    assert np.isfinite(out["summary"]["final_loss"])

@@ -35,12 +35,18 @@ from .ocp import OCP, rollout, total_cost
 
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
-    """Solver hyperparameters (reference ``ddp.py:12-20``). Static under jit."""
+    """Solver hyperparameters (reference ``ddp.py:12-20``). Static under jit.
+
+    horizon_parallel switches the Riccati sweep to the O(log N)-depth
+    associative-scan formulation (solvers/pscan.py) — worthwhile for long horizons
+    or small scenario batches; value propagation differs from the sequential split
+    update by O(reg)."""
 
     max_iter: int = 30
     tol: float = 1e-6
     reg: float = 1e-6
     alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
+    horizon_parallel: bool = False
 
 
 def _linearize(ocp: OCP, theta, X: Array, U: Array):
@@ -134,7 +140,11 @@ def _ilqr_solve_impl(ocp, cfg, theta, x0, U_init):
     def body(carry):
         it, X, U, prev_cost, _ = carry
         A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx = _linearize(ocp, theta, X, U)
-        K, kff = _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, cfg.reg)
+        if cfg.horizon_parallel:
+            from .pscan import parallel_backward_pass
+            K, kff = parallel_backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, cfg.reg)
+        else:
+            K, kff = _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, cfg.reg)
 
         X_c, U_c, costs = jax.vmap(
             lambda a: _forward_pass(ocp, theta, x0, X, U, K, kff, a)

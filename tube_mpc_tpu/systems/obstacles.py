@@ -29,6 +29,11 @@ class CircleField(NamedTuple):
     @staticmethod
     def from_list(obstacles, dtype=jnp.float32) -> "CircleField":
         """Build from [{'center': [cx, cy], 'radius': r}, ...] config entries."""
+        for i, o in enumerate(obstacles):
+            if "center" not in o or "radius" not in o:
+                raise ValueError(
+                    f"environment obstacle #{i} needs 'center' and 'radius', got {sorted(o)}"
+                )
         centers = jnp.asarray([list(o["center"]) for o in obstacles], dtype=dtype)
         radii = jnp.asarray([float(o["radius"]) for o in obstacles], dtype=dtype)
         return CircleField(centers=centers, radii=radii)

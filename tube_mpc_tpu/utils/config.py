@@ -120,10 +120,16 @@ def _take(d: Dict[str, Any], cls, **overrides):
 
 def parse_config(raw: Dict[str, Any]) -> ExperimentConfig:
     """Parse a reference-schema YAML dict into an ExperimentConfig."""
+    env = dict(raw.get("environment", {}) or {})
+    # Reference also accepts a SINGULAR `environment.obstacle` (tube_mpc.py:77-80),
+    # routed to the single-obstacle h regardless of the aggregation mode.
+    if "obstacle" in env and not env.get("obstacles"):
+        env["obstacles"] = [env.pop("obstacle")]
+        env["obstacle_aggregation"] = "single"
     return ExperimentConfig(
         system=_take(raw.get("system", {}), SystemConfig),
         dbas=_take(raw.get("dbas", {}), DBaSConfigYaml),
-        environment=_take(raw.get("environment", {}), EnvironmentConfig),
+        environment=_take(env, EnvironmentConfig),
         cost_nominal=_take(raw.get("cost_nominal", {}), CostConfig),
         cost_auxiliary=_take(raw.get("cost_auxiliary", {}), CostConfig),
         adaptation=_take(raw.get("adaptation", {}), AdaptationConfig),
