@@ -15,6 +15,11 @@ def main() -> None:
     ap.add_argument("--config", type=str, required=True)
     ap.add_argument("--plot", action="store_true")
     ap.add_argument("--platform", type=str, default=None)
+    ap.add_argument("--mode", choices=("receding", "once"), default="receding",
+                    help="receding horizon (reference run_nominal_receding) or a "
+                         "single solve from x0 (reference run_nominal_once)")
+    ap.add_argument("--feasible-filter", action="store_true",
+                    help="once-mode: strict-feasibility line-search filter")
     args = ap.parse_args()
 
     import jax
@@ -24,14 +29,17 @@ def main() -> None:
 
     from tube_mpc_tpu.utils.config import load_config
     from tube_mpc_tpu.utils.io import make_run_dir, save_json
-    from tube_mpc_tpu.runners import run_nominal
+    from tube_mpc_tpu.runners import run_nominal, run_nominal_single
 
     cfg = load_config(args.config)
     if cfg.use_float64:
         jax.config.update("jax_enable_x64", True)
 
     run_dir = make_run_dir(cfg.out_dir, cfg.run_name + "_nominal")
-    results = run_nominal(cfg, run_dir)
+    if args.mode == "once":
+        results = run_nominal_single(cfg, run_dir, feasible_filter=args.feasible_filter)
+    else:
+        results = run_nominal(cfg, run_dir)
 
     with open(args.config, "r", encoding="utf-8") as f:
         import yaml

@@ -69,7 +69,10 @@ class TestILQRCore:
         U0 = jnp.zeros((10, 2), dtype=F64)
         Xb, Ub = jax.vmap(lambda x: ilqr_solve(ocp, cfg, None, x, U0))(x0s)
         X1, U1 = ilqr_solve(ocp, cfg, None, x0s[1], U0)
-        np.testing.assert_allclose(Ub[1], U1, rtol=1e-10)
+        # vmapped and single solves compile to differently-fused programs; with the
+        # tight tol=1e-10 convergence check a 1-ulp rounding difference can shift the
+        # stopping iteration, so equivalence holds to solver accuracy, not bitwise.
+        np.testing.assert_allclose(Ub[1], U1, rtol=1e-6, atol=1e-9)
 
 
 @pytest.fixture(scope="module")

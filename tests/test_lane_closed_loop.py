@@ -37,9 +37,12 @@ def test_lane_closed_loop_matches_reference_driver():
         )
     )(w_seqs)
 
-    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-9, atol=1e-11)
-    np.testing.assert_allclose(np.asarray(lane.x_real), np.asarray(per_sample.x_real), rtol=1e-9, atol=1e-11)
-    np.testing.assert_allclose(np.asarray(lane.loss), np.asarray(per_sample.loss), rtol=1e-9, atol=1e-11)
+    # The lane kernel and the XLA driver are numerically equivalent, not bitwise:
+    # the XLA Riccati carries a scaled V (overflow guard, solvers/ilqr.py) while the
+    # lane kernel keeps the plain carry, so near-zero controls can differ at ~1e-8.
+    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.x_real), np.asarray(per_sample.x_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.loss), np.asarray(per_sample.loss), rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(np.asarray(lane.Q_hist), np.asarray(per_sample.Q_hist), rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(np.asarray(lane.R_hist), np.asarray(per_sample.R_hist), rtol=1e-8, atol=1e-11)
     np.testing.assert_allclose(np.asarray(lane.qb_hist), np.asarray(per_sample.qb_hist), rtol=1e-8, atol=1e-11)

@@ -121,3 +121,69 @@ class TestLaneSolverEquivalence:
         # above pins exact semantics, this one pins the f32 noise envelope.
         (X_x, U_x), (X_l, U_l) = self._solve_both(tracking=False, dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=0.05, atol=5e-3)
+
+
+class TestNewFamilyComponentForms:
+    """Lane solver equivalence on the other shipped families (cartpole nu=1,
+    quadrotor2d nx=6), pinning component forms to the feature-last systems."""
+
+    def _solve_both(self, name, dtype=jnp.float64):
+        from tube_mpc_tpu.ops.lanes import cartpole_components, quadrotor2d_components
+
+        if name == "cartpole":
+            from tube_mpc_tpu.systems.cartpole import CartPoleConfig, make_cartpole
+
+            system = make_cartpole(CartPoleConfig(dt=0.02), dtype=dtype)
+            sys_c = cartpole_components(dt=0.02)
+            target = jnp.zeros((4,), dtype=dtype)
+            x0_center = jnp.asarray([0.3, 0.0, 0.6, 0.0], dtype=dtype)
+            Q = [1.0, 0.1, 5.0, 0.1]; R = [0.01]; Qf = [10.0, 1.0, 50.0, 1.0]
+        else:
+            from tube_mpc_tpu.systems.quadrotor2d import Quadrotor2DConfig, make_quadrotor2d
+
+            obs = [(3.0, 3.0), (5.0, 6.0)]
+            field = CircleField(
+                centers=jnp.asarray([list(c) for c in obs], dtype=dtype),
+                radii=jnp.ones((2,), dtype=dtype),
+            )
+            system = make_quadrotor2d(Quadrotor2DConfig(dt=0.02), obstacles=field,
+                                      aggregation="smoothmin", beta=BETA, dtype=dtype)
+            sys_c = quadrotor2d_components(dt=0.02, centers=obs, radii=[1.0, 1.0],
+                                           aggregation="smoothmin", beta=BETA)
+            target = jnp.asarray([8.0, 8.0, 0.0, 0.0, 0.0, 0.0], dtype=dtype)
+            x0_center = jnp.asarray([0.0, 0.5, 0.0, 0.0, 0.0, 0.0], dtype=dtype)
+            Q = [1.0, 1.0, 0.5, 0.1, 0.1, 0.1]; R = [0.1, 0.1]; Qf = [50.0] * 6
+
+        n, m = system.nx, system.nu
+        aug = make_augmented(system, eps=EPS)
+        pb = make_lane_problem(sys_c, eps=EPS)
+        cfg = ILQRConfig(max_iter=5, tol=1e-3, reg=1e-3, alphas=(1.0, 0.5, 0.1, 0.0))
+
+        B, N = 4, 8
+        w = CostWeights.create(Q, R, Qf, 1.0, dtype=dtype)
+        bp = BarrierParams.create(0.0, 0.0, 0.0, dtype=dtype)
+        x0 = x0_center[None] + 0.02 * jax.random.normal(jax.random.PRNGKey(5), (B, n), dtype=dtype)
+        b0 = aug.init_b0(x0, bp)
+        x_hat0 = jnp.concatenate([x0, b0[:, None]], axis=-1)
+        U0 = 0.05 * jax.random.normal(jax.random.PRNGKey(6), (B, N, m), dtype=dtype)
+
+        X_ref = jnp.broadcast_to(target[None, None], (B, N + 1, n))
+        U_ref = jnp.zeros((B, N, m), dtype=dtype)
+        ocp = make_nominal_ocp(system, aug, target)
+        theta = NominalTheta(w=w, bp=bp)
+        X_x, U_x = jax.vmap(lambda xh, uu: ilqr_solve(ocp, cfg, theta, xh, uu))(x_hat0, U0)
+        X_l, U_l = tube_ilqr_solve_lanes(
+            pb, cfg, w=w, bp=bp, x_hat0=x_hat0, U_init=U0,
+            X_ref=X_ref, U_ref=U_ref, block_b=128, interpret=True,
+        )
+        return (X_x, U_x), (X_l, U_l)
+
+    def test_cartpole_lane_solver_matches(self):
+        (X_x, U_x), (X_l, U_l) = self._solve_both("cartpole")
+        np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-11, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-11, atol=1e-12)
+
+    def test_quadrotor2d_lane_solver_matches(self):
+        (X_x, U_x), (X_l, U_l) = self._solve_both("quadrotor2d")
+        np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-11, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-11, atol=1e-12)

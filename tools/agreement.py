@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--out", type=str, default="AGREEMENT.json")
+    ap.add_argument("--ref-dir", type=str, default=None,
+                    help="reuse a saved reference run dir (skips the ~9 min torch run)")
     args = ap.parse_args()
 
     # ---- reference run ----
@@ -47,12 +49,18 @@ def main() -> None:
     cfg["system"]["task_horizon_H"] = args.steps
     cfg["system"]["horizon_N"] = args.horizon
 
-    with tempfile.TemporaryDirectory() as d:
-        t0 = time.perf_counter()
-        run_closed_loop_experiment(cfg, device=torch.device("cpu"), run_dir=d)
-        ref_wall = time.perf_counter() - t0
-        ref = {k: np.load(os.path.join(d, f"{k}.npy")) for k in
-               ["x_real", "u_real", "b_real", "loss", "Qa_history", "Ra_history", "qba_history"]}
+    keys = ["x_real", "u_real", "b_real", "loss", "Qa_history", "Ra_history", "qba_history"]
+    if args.ref_dir and os.path.exists(os.path.join(args.ref_dir, "u_real.npy")):
+        ref = {k: np.load(os.path.join(args.ref_dir, f"{k}.npy")) for k in keys}
+        ref_wall = float("nan")
+    else:
+        with tempfile.TemporaryDirectory() as d:
+            out_dir = args.ref_dir or d
+            os.makedirs(out_dir, exist_ok=True)
+            t0 = time.perf_counter()
+            run_closed_loop_experiment(cfg, device=torch.device("cpu"), run_dir=out_dir)
+            ref_wall = time.perf_counter() - t0
+            ref = {k: np.load(os.path.join(out_dir, f"{k}.npy")) for k in keys}
 
     # reconstruct disturbances
     dt = float(cfg["system"]["dt"])
@@ -91,15 +99,36 @@ def main() -> None:
 
     u_ours = np.asarray(log.u_real)
     agreement = 1.0 - np.linalg.norm(u_ours - ref["u_real"]) / np.linalg.norm(ref["u_real"])
+
+    # Divergence diagnostics: closed loops through decision boundaries (line-search
+    # candidate ties, clamp boundaries, post-goal chatter) can bifurcate from
+    # O(1e-12) numerical differences; locate the first step where that happens.
+    per_step = np.max(np.abs(u_ours - ref["u_real"]), axis=-1)
+    div = np.nonzero(per_step > 1e-3)[0]
+    first_div = int(div[0]) if len(div) else args.steps
+    pre = slice(0, first_div)
+    pre_norm = np.linalg.norm(ref["u_real"][pre])
+    pre_agreement = (
+        1.0 - np.linalg.norm(u_ours[pre] - ref["u_real"][pre]) / pre_norm
+        if pre_norm > 0 else 1.0
+    )
+    goal = np.asarray([10.0, 10.0])
+    dist = np.linalg.norm(ref["x_real"][:, :2] - goal, axis=-1)
+    reached = np.nonzero(dist <= 0.25)[0]
+    goal_step = int(reached[0]) if len(reached) else args.steps
+
     report = {
         "steps": args.steps,
         "horizon": args.horizon,
         "control_seq_agreement": float(agreement),
+        "first_divergent_step": first_div,
+        "agreement_before_divergence": float(pre_agreement),
+        "reference_goal_reached_step": goal_step,
         "u_max_err": float(np.max(np.abs(u_ours - ref["u_real"]))),
         "x_max_err": float(np.max(np.abs(np.asarray(log.x_real) - ref["x_real"]))),
         "loss_max_err": float(np.max(np.abs(np.asarray(log.loss) - ref["loss"]))),
         "Qa_max_err": float(np.max(np.abs(np.asarray(log.Q_hist) - ref["Qa_history"]))),
-        "reference_wall_s": round(ref_wall, 2),
+        "reference_wall_s": round(ref_wall, 2) if ref_wall == ref_wall else None,
         "ours_wall_s_cpu_f64_incl_compile": round(our_wall, 2),
         "target": ">= 0.99 (BASELINE.json)",
     }

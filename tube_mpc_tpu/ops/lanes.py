@@ -184,3 +184,55 @@ def double_integrator_components(*, dt: float, a_max: float,
         h = base.h  # position-only; works for any system with (px, py) leading
 
     return ComponentSystem(n=4, m=2, f=f, h=h, u_min=(-a_max, -a_max), u_max=(a_max, a_max))
+
+
+def cartpole_components(*, dt: float, m_cart: float = 1.0, m_pole: float = 0.1,
+                        length: float = 0.5, gravity: float = 9.81,
+                        f_max: float = 20.0, x_lim: float = 2.4) -> ComponentSystem:
+    """Cart-pole in component form (same math as systems/cartpole.py:36-48);
+    safety h(x) = x_lim^2 - x^2 keeps the cart on the track."""
+
+    def f(xs: Rows, us: Rows) -> Rows:
+        pos, vel, th, om = xs
+        (force,) = us
+        s, c = jnp.sin(th), jnp.cos(th)
+        total_m = m_cart + m_pole
+        temp = (force + m_pole * length * om * om * s) / total_m
+        th_acc = (gravity * s - c * temp) / (length * (4.0 / 3.0 - m_pole * c * c / total_m))
+        x_acc = temp - m_pole * length * th_acc * c / total_m
+        return (pos + dt * vel, vel + dt * x_acc, th + dt * om, om + dt * th_acc)
+
+    def h(xs: Rows) -> Array:
+        return x_lim * x_lim - xs[0] * xs[0]
+
+    return ComponentSystem(n=4, m=1, f=f, h=h, u_min=(-f_max,), u_max=(f_max,))
+
+
+def quadrotor2d_components(*, dt: float, mass: float = 0.8, inertia: float = 0.02,
+                           arm: float = 0.2, gravity: float = 9.81,
+                           t_min: float = 0.0, t_max: float = 8.0,
+                           centers=(), radii=(), aggregation="smoothmin",
+                           beta: float = 20.0) -> ComponentSystem:
+    """Planar quadrotor in component form (same math as systems/quadrotor2d.py:38-51);
+    circle obstacles act on the leading (px, pz) position rows."""
+
+    def f(xs: Rows, us: Rows) -> Rows:
+        px, pz, th, vx, vz, om = xs
+        t1, t2 = us
+        thrust = t1 + t2
+        s, c = jnp.sin(th), jnp.cos(th)
+        ax = -thrust * s / mass
+        az = thrust * c / mass - gravity
+        al = (t2 - t1) * arm / inertia
+        return (px + dt * vx, pz + dt * vz, th + dt * om,
+                vx + dt * ax, vz + dt * az, om + dt * al)
+
+    h = None
+    if len(centers):
+        base = dubins_components(dt=dt, v_min=0, v_max=0, omega_max=0,
+                                 centers=centers, radii=radii,
+                                 aggregation=aggregation, beta=beta)
+        h = base.h  # position-only on (px, pz)
+
+    return ComponentSystem(n=6, m=2, f=f, h=h,
+                           u_min=(t_min, t_min), u_max=(t_max, t_max))

@@ -29,8 +29,24 @@ def solve_spd(A: Array, B: Array) -> Array:
     elif n == 2:
         a, b = A[..., 0, 0], A[..., 0, 1]
         c, d = A[..., 1, 0], A[..., 1, 1]
+        # Scale-invariant adjugate solve. TPU x64 is EMULATED with f32 exponent range
+        # (~1e38): barrier-inflated Hessians reach ~1e22, so a raw determinant (~1e44)
+        # overflows to inf -> NaN gains on TPU while CPU f64 (1e308) sails through.
+        # Normalizing by the max entry keeps every intermediate within range.
+        s = jnp.maximum(jnp.maximum(jnp.abs(a), jnp.abs(b)),
+                        jnp.maximum(jnp.abs(c), jnp.abs(d)))
+        s = jnp.maximum(s, jnp.asarray(1e-30, dtype=A.dtype))
+        a, b, c, d = a / s, b / s, c / s, d / s
         det = a * d - b * c
-        inv_det = 1.0 / det
+        # Det floor: a barrier-dominated Q_uu is numerically rank-1 and the true
+        # regularizer sits below the f64 cancellation noise of a*d - b*c, so the
+        # normalized det can cancel to EXACTLY 0 (measured on TPU-emulated f64,
+        # where CPU f64 leaves ~1e-16 rounding noise instead). 0-det would emit
+        # inf/NaN gains; the floor yields large-but-finite gains the line search
+        # then rejects, matching the CPU recovery behavior. Identity for any
+        # well-conditioned solve (normalized det is O(1) >> 1e-30).
+        det = jnp.maximum(det, jnp.asarray(1e-30, dtype=A.dtype))
+        inv_det = 1.0 / (det * s)
         x0 = (d[..., None] * B[..., 0, :] - b[..., None] * B[..., 1, :]) * inv_det[..., None]
         x1 = (-c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :]) * inv_det[..., None]
         X = jnp.stack([x0, x1], axis=-2)

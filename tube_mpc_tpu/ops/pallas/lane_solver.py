@@ -134,8 +134,15 @@ def _ric_kernel(pb: LaneProblem, reg: float,
         q00 = Quu[0][0] + reg
         q11 = Quu[1][1] + reg
         q01, q10 = Quu[0][1], Quu[1][0]
-        det_inv = 1.0 / (q00 * q11 - q01 * q10)
-        inv = [[q11 * det_inv, -q01 * det_inv], [-q10 * det_inv, q00 * det_inv]]
+        # scale-invariant adjugate inverse (TPU f32 / emulated-f64 exponent range:
+        # raw determinants of barrier-inflated Q_uu overflow; see ops/linalg.py)
+        s = jnp.maximum(jnp.maximum(jnp.abs(q00), jnp.abs(q01)),
+                        jnp.maximum(jnp.abs(q10), jnp.abs(q11)))
+        s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
+        n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
+        det = jnp.maximum(n00 * n11 - n01 * n10, jnp.asarray(1e-30, dtype=q00.dtype))
+        det_inv = 1.0 / (det * s)
+        inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover
         raise NotImplementedError("lane solver supports nu in {1, 2}")
 
@@ -369,6 +376,8 @@ def lane_ilqr_solve(
         K, kff = ric(A, Bm, lx, lu, C, phix)
         Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
 
+        # NaN candidates never win (reference `<` semantics, ddp.py:293-296)
+        costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
         best = jnp.argmin(costs, axis=0)                    # [B_pad]
         best_cost = jnp.min(costs, axis=0)                  # [B_pad]
         # gather the winning candidate per lane

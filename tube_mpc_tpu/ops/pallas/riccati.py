@@ -76,8 +76,15 @@ def _riccati_kernel(n: int, m: int, reg: float,
         q00 = Quu[0][0] + reg
         q11 = Quu[1][1] + reg
         q01, q10 = Quu[0][1], Quu[1][0]
-        det_inv = 1.0 / (q00 * q11 - q01 * q10)
-        inv = [[q11 * det_inv, -q01 * det_inv], [-q10 * det_inv, q00 * det_inv]]
+        # scale-invariant adjugate inverse (TPU f32 / emulated-f64 exponent range:
+        # raw determinants of barrier-inflated Q_uu overflow; see ops/linalg.py)
+        s = jnp.maximum(jnp.maximum(jnp.abs(q00), jnp.abs(q01)),
+                        jnp.maximum(jnp.abs(q10), jnp.abs(q11)))
+        s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
+        n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
+        det = jnp.maximum(n00 * n11 - n01 * n10, jnp.asarray(1e-30, dtype=q00.dtype))
+        det_inv = 1.0 / (det * s)
+        inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover — wrapper guards this
         raise NotImplementedError("pallas riccati kernel supports nu in {1, 2}")
 

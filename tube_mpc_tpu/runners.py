@@ -97,6 +97,56 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[s
     return {"summary": summary, "log": log}
 
 
+def run_nominal_single(cfg: ExperimentConfig, run_dir: str,
+                       *, feasible_filter: bool = False) -> Dict[str, Any]:
+    """Single nominal solve from x0 (reference ``run_nominal.py:37-201``,
+    run_nominal_once): one angle-wrapped iLQR solve with the v=v_max warm start,
+    saving the plan as x_bar_single/u_bar_single.
+
+    feasible_filter enables the strict-feasibility line-search filter the reference
+    defines but never passes to its solver (``run_nominal.py:119-124, 173-184``)."""
+    import os
+
+    from .tube.problem import NominalTheta, make_nominal_ocp
+
+    built = build_experiment(cfg, paper_mode=False)
+    system, aug = built.system, built.aug
+    ocp = make_nominal_ocp(system, aug, built.target,
+                           angle_dims=system.angle_dims, feasible_h=feasible_filter)
+    theta = NominalTheta(w=built.w_nominal, bp=built.bp)
+    b0 = aug.init_b0(built.x0, built.bp)
+    x_hat0 = jnp.concatenate([built.x0, b0[None]])
+    # reference warm start: forward at v = v_max (run_nominal.py:170-171)
+    U_ws = jnp.zeros((cfg.system.horizon_N, system.nu), dtype=built.x0.dtype)
+    U_ws = U_ws.at[:, 0].set(system.u_max[0])
+
+    from .solvers.ilqr import ilqr_solve
+
+    X_hat, U = jax.jit(
+        lambda: ilqr_solve(ocp, built.tube_cfg.nominal_ilqr(), theta, x_hat0, U_ws)
+    )()
+    jax.block_until_ready((X_hat, U))
+
+    x_plan = np.asarray(X_hat[:, : system.nx], dtype=np.float64)
+    u_plan = np.asarray(U, dtype=np.float64)
+    os.makedirs(run_dir, exist_ok=True)
+    np.save(os.path.join(run_dir, "x_bar_single.npy"), x_plan)
+    np.save(os.path.join(run_dir, "u_bar_single.npy"), u_plan)
+    summary = {
+        "system": cfg.system.name,
+        "mode": "nominal_only",
+        "N": cfg.system.horizon_N,
+        "x0": x_plan[0].tolist(),
+        "xN": x_plan[-1].tolist(),
+        "min_h_on_plan": (
+            float(np.min(np.asarray(system.h(X_hat[:, : system.nx]))))
+            if system.h is not None else None
+        ),
+    }
+    save_json(run_dir, "results_summary.json", summary)
+    return {"summary": summary, "X": X_hat, "U": U}
+
+
 def run_nominal(cfg: ExperimentConfig, run_dir: str) -> Dict[str, Any]:
     """Nominal-only receding horizon with success/collision checks
     (reference ``run_nominal.py:204-415``)."""
@@ -111,6 +161,7 @@ def run_nominal(cfg: ExperimentConfig, run_dir: str) -> Dict[str, Any]:
             built.system, built.aug, built.tube_cfg,
             w_nominal=built.w_nominal, bp=built.bp,
             x0=built.x0, target=built.target, h_exact=h_exact,
+            angle_dims=built.system.angle_dims,
         )
     )()
     jax.block_until_ready(res)

@@ -32,6 +32,11 @@ from jax import Array
 from ..ops.linalg import solve_spd
 from .ocp import OCP, rollout, total_cost
 
+# Renormalization threshold for the scaled Riccati carry (see _backward_pass).
+# Chosen so thresh * ||A||^2 stays below the f32 exponent range (~3.4e38) that
+# TPU-emulated float64 shares, with barrier-inflated ||A|| up to ~1e12.
+_V_SCALE_THRESH = 1e12
+
 
 @dataclasses.dataclass(frozen=True)
 class ILQRConfig:
@@ -64,29 +69,44 @@ def _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, reg: float):
     """Riccati recursion -> feedback gains K [N,nu,nx] and feedforward kff [N,nu].
 
     One lax.scan step implements the reference recursion at ``ddp.py:213-254``.
+
+    The carry holds V in a SCALED representation: true V = exp(log_s) * (V_x, V_xx).
+    TPU float64 is emulated with f32 EXPONENT range (~3.4e38); when a plan penetrates
+    the barrier's steep region, augmented Jacobian rows reach ~1e12 and the true V_xx
+    compounds past 1e38 within a few steps — representable on CPU f64, inf -> NaN on
+    TPU. Gains are scale-invariant ratios, so we renormalize the carry whenever it
+    exceeds _V_SCALE_THRESH. Below the threshold log_s stays exactly 0.0 and every op
+    is bitwise identical to the unscaled recursion (scale==1.0 branches are exact
+    identities), preserving reference agreement in the normal regime.
     """
     nu = B.shape[-1]
     eye = jnp.eye(nu, dtype=B.dtype)
+    thresh = jnp.asarray(_V_SCALE_THRESH, dtype=B.dtype)
 
     def step(carry, inp):
-        V_x, V_xx = carry
+        V_x, V_xx, log_s = carry
         A_k, B_k, lx_k, lu_k, lxx_k, luu_k, lux_k = inp
-        Q_x = lx_k + A_k.T @ V_x
-        Q_u = lu_k + B_k.T @ V_x
-        Q_xx = lxx_k + A_k.T @ V_xx @ A_k
-        Q_ux = lux_k + B_k.T @ V_xx @ A_k
-        Q_uu = luu_k + B_k.T @ V_xx @ B_k
-        Q_uu_reg = Q_uu + reg * eye
+        inv_s = jnp.exp(-log_s)  # == 1.0 exactly while log_s == 0.0
+        # Q blocks in V's scaled units (true Q = exp(log_s) * Q).
+        Q_x = lx_k * inv_s + A_k.T @ V_x
+        Q_u = lu_k * inv_s + B_k.T @ V_x
+        Q_xx = lxx_k * inv_s + A_k.T @ V_xx @ A_k
+        Q_ux = lux_k * inv_s + B_k.T @ V_xx @ A_k
+        Q_uu = luu_k * inv_s + B_k.T @ V_xx @ B_k
+        Q_uu_reg = Q_uu + (reg * inv_s) * eye
 
         K = -solve_spd(Q_uu_reg, Q_ux)
         kff = -solve_spd(Q_uu_reg, Q_u)
 
         V_x_new = Q_x + K.T @ Q_uu @ kff + K.T @ Q_u + Q_ux.T @ kff
         V_xx_new = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
-        return (V_x_new, V_xx_new), (K, kff)
+        m = jnp.maximum(jnp.max(jnp.abs(V_xx_new)), jnp.max(jnp.abs(V_x_new)))
+        scale = jnp.where(m > thresh, m / thresh, jnp.ones_like(m))
+        return (V_x_new / scale, V_xx_new / scale, log_s + jnp.log(scale)), (K, kff)
 
-    (_, _), (K, kff) = jax.lax.scan(
-        step, (phi_x, phi_xx), (A, B, lx, lu, lxx, luu, lux), reverse=True
+    init = (phi_x, phi_xx, jnp.zeros((), dtype=B.dtype))
+    _, (K, kff) = jax.lax.scan(
+        step, init, (A, B, lx, lu, lxx, luu, lux), reverse=True
     )
     return K, kff
 
@@ -149,6 +169,10 @@ def _ilqr_solve_impl(ocp, cfg, theta, x0, U_init):
         X_c, U_c, costs = jax.vmap(
             lambda a: _forward_pass(ocp, theta, x0, X, U, K, kff, a)
         )(alphas)
+        # NaN candidates must never win: the reference's sequential `cost < best`
+        # comparison skips them (NaN < x is False, ddp.py:293-296); argmin would
+        # pick them. Map NaN -> +inf so the best FINITE candidate is selected.
+        costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
         best = jnp.argmin(costs)  # first minimum wins ties, like the reference's strict <
         best_cost = costs[best]
         X_new = X_c[best]

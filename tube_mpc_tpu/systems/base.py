@@ -34,6 +34,8 @@ class System:
       u_min, u_max: box control bounds, shape [nu].
       x_target: goal state [nx] (task-level; used by default cost builders).
       w_low, w_high: uniform disturbance bounds [nx] (additive on the true step).
+      angle_dims: state dims that are angles (errors wrapped to [-pi, pi] by the
+        receding-horizon cost builders, reference ``run_nominal.py:32-34``).
     """
 
     name: str
@@ -48,6 +50,7 @@ class System:
     x_target: Optional[Array] = None
     w_low: Optional[Array] = None
     w_high: Optional[Array] = None
+    angle_dims: Tuple[int, ...] = ()
 
     def jacobians(self) -> Callable[[Array, Array], Tuple[Array, Array]]:
         """Return f_jac, falling back to forward-mode autodiff (compiled, batched).

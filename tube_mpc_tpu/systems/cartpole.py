@@ -59,6 +59,7 @@ def make_cartpole(cfg: CartPoleConfig = CartPoleConfig(), *, dtype=jnp.float32) 
 
     return System(
         name="cartpole",
+        angle_dims=(2,),
         nx=4,
         nu=1,
         f=lambda x, u: cartpole_step(x, u, cfg=cfg),

@@ -80,6 +80,7 @@ def make_dubins(
         h, h_grad = make_h(obstacles, aggregation=aggregation, beta=beta)
     return System(
         name="dubins",
+        angle_dims=(2,),
         nx=3,
         nu=2,
         f=lambda x, u: dubins_step(x, u, dt=dt),

@@ -97,6 +97,7 @@ def make_quadrotor2d(
         h, h_grad = make_h(obstacles, aggregation=aggregation, beta=beta)
     return System(
         name="quadrotor2d",
+        angle_dims=(2,),
         nx=6,
         nu=2,
         f=lambda x, u: quad2d_step(x, u, cfg=cfg),
