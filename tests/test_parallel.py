@@ -101,3 +101,29 @@ def test_population_adaptation_mesh_matches_single_device():
     np.testing.assert_allclose(np.asarray(adapt_mesh.qb), np.asarray(adapt_1dev.qb), rtol=1e-10)
     # shared θ actually adapted (tiny lr*H here, so any nonzero drift counts)
     assert np.max(np.abs(np.asarray(adapt_mesh.Q) - np.asarray(aux0.Q))) > 0
+
+
+def test_population_masks_poisoned_scenarios():
+    """One blown-up scenario (NaN state) must not poison the shared-theta update:
+    per-scenario grads are finite-masked before the (p)mean (scenarios.py)."""
+    system, aug, cfg, kw, x0 = _setup()
+    B = 8
+    w_seqs = system.sample_disturbance(jax.random.PRNGKey(3), (B, cfg.H), dtype=F64)
+    x0_b = jnp.tile(x0, (B, 1)).at[3].set(jnp.nan)  # scenario 3 is dead on arrival
+    aux0 = AuxAdapt(Q=jnp.ones(3, dtype=F64), R=jnp.ones(2, dtype=F64), qb=jnp.asarray(1.0, dtype=F64))
+
+    log, adapt = run_population_adaptation(
+        system, aug, cfg, aux_init=aux0, x0_batch=x0_b, w_seqs=w_seqs, mesh=None, **kw
+    )
+    assert np.all(np.isfinite(np.asarray(log.loss_mean)))
+    assert np.all(np.isfinite(np.asarray(adapt.Q)))
+    np.testing.assert_allclose(np.asarray(log.finite_frac), (B - 1) / B)
+
+    # and the healthy-population result equals a run without the poisoned scenario
+    keep = jnp.asarray([i for i in range(B) if i != 3])
+    log_ref, adapt_ref = run_population_adaptation(
+        system, aug, cfg, aux_init=aux0,
+        x0_batch=x0_b[keep], w_seqs=w_seqs[keep], mesh=None, **kw
+    )
+    np.testing.assert_allclose(np.asarray(adapt.Q), np.asarray(adapt_ref.Q), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(log.loss_mean), np.asarray(log_ref.loss_mean), rtol=1e-12)

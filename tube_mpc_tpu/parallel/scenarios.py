@@ -131,10 +131,11 @@ class PopulationState(NamedTuple):
 
 
 class PopulationLog(NamedTuple):
-    loss_mean: Array  # [H]
-    Q_hist: Array     # [H, nx]
-    R_hist: Array     # [H, nu]
-    qb_hist: Array    # [H]
+    loss_mean: Array    # [H]  masked mean over scenarios with finite loss+grad
+    Q_hist: Array       # [H, nx]
+    R_hist: Array       # [H, nu]
+    qb_hist: Array      # [H]
+    finite_frac: Array  # [H]  fraction of scenarios contributing (1.0 = all healthy)
 
 
 def _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name):
@@ -155,30 +156,52 @@ def _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name):
 
         x_hat = jnp.concatenate([state.x, state.b[:, None]], axis=-1)
 
-        def upper(adapt: AuxAdapt):
+        def upper_one(adapt: AuxAdapt, xh, ws, Xr, Ur):
             w_aux = CostWeights(Q=adapt.Q, R=adapt.R, Qf=adapt.Q, qb=adapt.qb)
-
-            def solve_one(xh, ws, Xr, Ur):
-                th = AuxTheta(
-                    w=w_aux, bp=bp,
-                    X_ref=jax.lax.stop_gradient(Xr),
-                    U_ref=jax.lax.stop_gradient(Ur),
-                )
-                return solve_aux(th, xh, ws)
-
-            X_aux, U_aux = jax.vmap(solve_one)(x_hat, state.U_aux_ws, X_ref, U_nom)
-            L = jnp.mean(
-                jnp.sum((X_aux[..., :nx] - X_ref) ** 2, axis=(-2, -1))
-                + jnp.sum(X_aux[..., nx] ** 2, axis=-1)
+            th = AuxTheta(
+                w=w_aux, bp=bp,
+                X_ref=jax.lax.stop_gradient(Xr),
+                U_ref=jax.lax.stop_gradient(Ur),
             )
-            return L, (X_aux, U_aux)
+            X_aux, U_aux = solve_aux(th, xh, ws)
+            L_i = jnp.sum((X_aux[:, :nx] - Xr) ** 2) + jnp.sum(X_aux[:, nx] ** 2)
+            return L_i, (X_aux, U_aux)
 
-        (L, (X_aux, U_aux)), grads = jax.value_and_grad(upper, has_aux=True)(state.adapt)
+        # PER-SCENARIO gradients, then a finite-masked mean: a single blown-up
+        # scenario (obstacle penetration can overflow even guarded numerics) must
+        # not poison the shared-θ update — with a plain grad-of-mean, one NaN
+        # contribution wipes out the whole population via the sum.
+        (L_i, (X_aux, U_aux)), g_i = jax.vmap(
+            lambda xh, ws, Xr, Ur: jax.value_and_grad(upper_one, has_aux=True)(
+                state.adapt, xh, ws, Xr, Ur
+            )
+        )(x_hat, state.U_aux_ws, X_ref, U_nom)
+
+        g_finite = jnp.stack(
+            [jnp.all(jnp.isfinite(g.reshape(g.shape[0], -1)), axis=-1)
+             for g in jax.tree_util.tree_leaves(g_i)],
+            axis=0,
+        ).all(axis=0)
+        ok = jnp.isfinite(L_i) & g_finite                       # [B_local]
+        cnt = jnp.sum(ok.astype(L_i.dtype))
+        g_sum = jax.tree.map(
+            lambda g: jnp.sum(jnp.where(ok.reshape((-1,) + (1,) * (g.ndim - 1)), g, 0), axis=0),
+            g_i,
+        )
+        L_sum = jnp.sum(jnp.where(ok, L_i, 0))
+        B_total = jnp.asarray(L_i.shape[0], dtype=L_i.dtype)
 
         if axis_name is not None:
-            # all-reduce the mean gradient (and the monitored loss) across the mesh
-            grads = jax.lax.pmean(grads, axis_name)
-            L = jax.lax.pmean(L, axis_name)
+            # exact global masked mean: psum numerators and the healthy count
+            g_sum = jax.lax.psum(g_sum, axis_name)
+            L_sum = jax.lax.psum(L_sum, axis_name)
+            cnt = jax.lax.psum(cnt, axis_name)
+            B_total = jax.lax.psum(B_total, axis_name)
+
+        denom = jnp.maximum(cnt, 1.0)
+        grads = jax.tree.map(lambda g: g / denom, g_sum)
+        L = L_sum / denom
+        finite_frac = cnt / B_total
 
         adapt, vel = momentum_update(state.adapt, grads, state.vel, cfg.adapt, project_aux_adapt)
 
@@ -197,7 +220,7 @@ def _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name):
             adapt=adapt,
             vel=vel,
         )
-        return new_state, (L, adapt.Q, adapt.R, adapt.qb)
+        return new_state, (L, adapt.Q, adapt.R, adapt.qb, finite_frac)
 
     def run(x0_b: Array, w_seqs: Array, adapt0: AuxAdapt):
         """x0_b [B_local, nx]; w_seqs [H, B_local, nx] (time-major for the scan)."""
@@ -211,8 +234,9 @@ def _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name):
             adapt=adapt0,
             vel=jax.tree.map(jnp.zeros_like, adapt0),
         )
-        final, (Ls, Qh, Rh, qbh) = jax.lax.scan(step, init, w_seqs)
-        return PopulationLog(loss_mean=Ls, Q_hist=Qh, R_hist=Rh, qb_hist=qbh), final.adapt
+        final, (Ls, Qh, Rh, qbh, ff) = jax.lax.scan(step, init, w_seqs)
+        return PopulationLog(loss_mean=Ls, Q_hist=Qh, R_hist=Rh, qb_hist=qbh,
+                             finite_frac=ff), final.adapt
 
     return run
 
