@@ -20,7 +20,11 @@ def main() -> None:
     ap.add_argument("--config", type=str, required=True)
     ap.add_argument("--plot", action="store_true", help="write plots into the run dir")
     ap.add_argument("--platform", type=str, default=None, help="jax platform override (cpu/tpu)")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="run B vmapped disturbance scenarios at once (default: 1)")
     args = ap.parse_args()
+    if args.batch is not None and args.batch < 1:
+        ap.error("--batch must be >= 1")
 
     import jax
 
@@ -39,7 +43,7 @@ def main() -> None:
         debug_nans(True)
 
     run_dir = make_run_dir(cfg.out_dir, cfg.run_name)
-    results = run_experiment(cfg, run_dir)
+    results = run_experiment(cfg, run_dir, batch=args.batch)
 
     with open(args.config, "r", encoding="utf-8") as f:
         import yaml

@@ -25,13 +25,23 @@ from .utils.io import save_closed_loop_log, save_json
 from .systems.obstacles import h_min
 
 
-def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[str, Any]:
+def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
+                   batch: Optional[int] = None) -> Dict[str, Any]:
     """Closed-loop adaptive tube MPC; returns the results summary (also written to
     run_dir). Paper mode when paper_dubins_mode and not adapt_nominal
-    (reference dispatch tube_mpc.py:48-49)."""
+    (reference dispatch tube_mpc.py:48-49).
+
+    batch: run B i.i.d.-disturbance scenarios at once (vmapped over PRNG keys;
+    each scenario adapts its own θ). Scenario 0 is saved as the reference-compatible
+    single-run artifacts; the full [B, ...] arrays go to *_batch.npy and the summary
+    gains population statistics. batch=None/1 reproduces the single-trajectory
+    reference behavior exactly."""
     paper_mode = cfg.paper_dubins_mode and not cfg.adaptation.adapt_nominal
     built = build_experiment(cfg, paper_mode=paper_mode)
     key = jax.random.PRNGKey(cfg.seed)
+    B = int(batch) if batch else 0
+    if B > 1 and w_seq is not None:
+        raise ValueError("batch mode samples disturbances; don't pass w_seq")
 
     t0 = time.perf_counter()
     if paper_mode:
@@ -45,6 +55,8 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[s
 
         if w_seq is not None:
             log = jax.jit(lambda w: paper(w, None))(w_seq)
+        elif B > 1:
+            log = jax.jit(jax.vmap(lambda k: paper(None, k)))(jax.random.split(key, B))
         else:
             log = jax.jit(lambda k: paper(None, k))(key)
         mode = "paper"
@@ -67,13 +79,18 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[s
             alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
             gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
         )
-        log, _final = jax.jit(
-            lambda k: run_generic_closed_loop(
+        def generic(k):
+            log_, _final = run_generic_closed_loop(
                 built.system, built.aug, built.tube_cfg,
                 raw_nom_init=raw_nom, raw_aux_init=raw_aux,
                 x0=built.x0, target=built.target, key=k,
             )
-        )(key)
+            return log_
+
+        if B > 1:
+            log = jax.jit(jax.vmap(generic))(jax.random.split(key, B))
+        else:
+            log = jax.jit(generic)(key)
         mode = "generic"
     jax.block_until_ready(log)
     wall = time.perf_counter() - t0
@@ -81,18 +98,45 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None) -> Dict[s
     if cfg.debug_numerics:
         check_finite_log(log)
 
-    save_closed_loop_log(run_dir, log)
-    summary = {
-        "system": cfg.system.name,
-        "mode": mode,
-        "H": cfg.system.task_horizon_H,
-        "N": cfg.system.horizon_N,
-        "final_state": np.asarray(log.x_real[-1]).tolist(),
-        "final_barrier_state": float(np.asarray(log.b_real[-1])),
-        "final_loss": float(np.asarray(log.loss[-1])),
-        "wall_time_s": wall,
-        "solves_per_sec": 2 * cfg.system.task_horizon_H / wall,
-    }
+    H = cfg.system.task_horizon_H
+    if B > 1:
+        import os
+
+        os.makedirs(run_dir, exist_ok=True)
+        for name, arr in log._asdict().items():
+            np.save(os.path.join(run_dir, f"{name}_batch.npy"),
+                    np.asarray(arr, dtype=np.float64))
+        log0 = type(log)(*(leaf[0] for leaf in log))
+        save_closed_loop_log(run_dir, log0)
+        final_losses = np.asarray(log.loss[:, -1], dtype=np.float64)
+        summary = {
+            "system": cfg.system.name,
+            "mode": mode,
+            "H": H,
+            "N": cfg.system.horizon_N,
+            "batch": B,
+            "final_state": np.asarray(log.x_real[0, -1]).tolist(),
+            "final_barrier_state": float(np.asarray(log.b_real[0, -1])),
+            "final_loss": float(final_losses[0]),
+            "final_loss_mean": float(final_losses.mean()),
+            "final_loss_std": float(final_losses.std()),
+            "final_loss_max": float(final_losses.max()),
+            "wall_time_s": wall,
+            "solves_per_sec": 2 * H * B / wall,
+        }
+    else:
+        save_closed_loop_log(run_dir, log)
+        summary = {
+            "system": cfg.system.name,
+            "mode": mode,
+            "H": H,
+            "N": cfg.system.horizon_N,
+            "final_state": np.asarray(log.x_real[-1]).tolist(),
+            "final_barrier_state": float(np.asarray(log.b_real[-1])),
+            "final_loss": float(np.asarray(log.loss[-1])),
+            "wall_time_s": wall,
+            "solves_per_sec": 2 * H / wall,
+        }
     save_json(run_dir, "results_summary.json", summary)
     return {"summary": summary, "log": log}
 
