@@ -38,18 +38,20 @@ def solve_spd(A: Array, B: Array) -> Array:
         s = jnp.maximum(s, jnp.asarray(1e-30, dtype=A.dtype))
         a, b, c, d = a / s, b / s, c / s, d / s
         det = a * d - b * c
-        # Det floor: a barrier-dominated Q_uu is numerically rank-1 and the true
-        # regularizer sits below the f64 cancellation noise of a*d - b*c, so the
-        # normalized det can cancel to EXACTLY 0 (measured on TPU-emulated f64,
-        # where CPU f64 leaves ~1e-16 rounding noise instead). 0-det would emit
-        # inf/NaN gains; the floor yields large-but-finite gains the line search
-        # then rejects, matching the CPU recovery behavior. Identity for any
-        # well-conditioned solve (normalized det is O(1) >> 1e-30).
-        det = jnp.maximum(det, jnp.asarray(1e-30, dtype=A.dtype))
-        inv_det = 1.0 / (det * s)
+        # Resolve-or-zero: a barrier-dominated Q_uu is numerically rank-1 — the true
+        # regularizer sits below the cancellation noise of a*d - b*c, so the
+        # normalized det is rounding garbage (and cancels to EXACTLY 0 on
+        # TPU-emulated f64). Gains computed from such a det are meaningless at this
+        # precision and their magnitude (1/det) overflows the downstream K'QuuK
+        # value update on range-limited TPU floats. Where det is below ~100 ulps we
+        # return X = 0 (the solver keeps its incumbent trajectory — a graceful
+        # stall, like the reference's line-search rejection of garbage candidates).
+        # Identity for any resolvable solve (normalized det >> 100*eps).
+        ok = det > 100.0 * jnp.finfo(A.dtype).eps
+        inv_det = 1.0 / (jnp.maximum(det, jnp.asarray(1e-30, dtype=A.dtype)) * s)
         x0 = (d[..., None] * B[..., 0, :] - b[..., None] * B[..., 1, :]) * inv_det[..., None]
         x1 = (-c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :]) * inv_det[..., None]
-        X = jnp.stack([x0, x1], axis=-2)
+        X = jnp.where(ok[..., None, None], jnp.stack([x0, x1], axis=-2), 0.0)
     else:
         X = jnp.linalg.solve(A, B)
     return X[..., 0] if vec else X

@@ -97,9 +97,12 @@ def _lin_kernel(pb: LaneProblem,
 # K_ric — backward Riccati with diagonal cost Hessians (l_ux = 0).
 # ---------------------------------------------------------------------------
 
+_V_SCALE_THRESH = 1e8  # renormalize the V carry beyond this (f32 range guard)
+
+
 def _ric_kernel(pb: LaneProblem, reg: float,
                 A_ref, B_ref, lx_ref, lu_ref, C_ref, phix_ref,
-                K_out, kff_out, Vx, Vxx):
+                K_out, kff_out, Vx, Vxx, LogS):
     nh, m = pb.n_hat, pb.m
     kidx = pl.program_id(1)
 
@@ -109,6 +112,14 @@ def _ric_kernel(pb: LaneProblem, reg: float,
             Vx[i, :] = phix_ref[i, :]
             for j in range(nh):
                 Vxx[i * nh + j, :] = jnp.where(i == j, C_ref[nh + m + i, :], 0.0)
+        LogS[0, :] = jnp.zeros_like(LogS[0, :])
+
+    # Scaled V carry (per lane): true V = exp(LogS) * (Vx, Vxx). Barrier-inflated
+    # Jacobians make the true V_xx overflow the f32 exponent range within a few
+    # steps of a violating plan; gains are scale-invariant ratios, so we keep the
+    # carry renormalized. LogS stays exactly 0 in the normal regime (exp(-0)=1 and
+    # x*1.0/x/1.0 are IEEE identities), preserving bitwise equivalence there.
+    inv_s = jnp.exp(-LogS[0, :])
 
     A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
     Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
@@ -117,16 +128,17 @@ def _ric_kernel(pb: LaneProblem, reg: float,
     vx = [Vx[i, :] for i in range(nh)]
     vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
 
-    Qx = [lx[i] + sum(A[j][i] * vx[j] for j in range(nh)) for i in range(nh)]
-    Qu = [lu[a] + sum(Bm[j][a] * vx[j] for j in range(nh)) for a in range(m)]
+    Qx = [lx[i] * inv_s + sum(A[j][i] * vx[j] for j in range(nh)) for i in range(nh)]
+    Qu = [lu[a] * inv_s + sum(Bm[j][a] * vx[j] for j in range(nh)) for a in range(m)]
     VA = [[sum(vxx[i][l] * A[l][j] for l in range(nh)) for j in range(nh)] for i in range(nh)]
     VB = [[sum(vxx[i][l] * Bm[l][a] for l in range(nh)) for a in range(m)] for i in range(nh)]
     # diagonal stage Hessians: lxx = diag(C[0:nh]), luu = diag(C[nh:nh+m]), lux = 0
-    Qxx = [[(C_ref[i, :] if i == j else 0.0) + sum(A[l][i] * VA[l][j] for l in range(nh))
+    Qxx = [[(C_ref[i, :] * inv_s if i == j else 0.0) + sum(A[l][i] * VA[l][j] for l in range(nh))
             for j in range(nh)] for i in range(nh)]
     Qux = [[sum(Bm[l][a] * VA[l][i] for l in range(nh)) for i in range(nh)] for a in range(m)]
-    Quu = [[(C_ref[nh + a, :] if a == b else 0.0) + sum(Bm[l][a] * VB[l][b] for l in range(nh))
+    Quu = [[(C_ref[nh + a, :] * inv_s if a == b else 0.0) + sum(Bm[l][a] * VB[l][b] for l in range(nh))
             for b in range(m)] for a in range(m)]
+    reg = reg * inv_s  # true-unit regularizer expressed in V's scaled units
 
     if m == 1:
         inv = [[1.0 / (Quu[0][0] + reg)]]
@@ -140,8 +152,13 @@ def _ric_kernel(pb: LaneProblem, reg: float,
                         jnp.maximum(jnp.abs(q10), jnp.abs(q11)))
         s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
         n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
-        det = jnp.maximum(n00 * n11 - n01 * n10, jnp.asarray(1e-30, dtype=q00.dtype))
-        det_inv = 1.0 / (det * s)
+        det = n00 * n11 - n01 * n10
+        # resolve-or-zero (see ops/linalg.py): below ~100 ulps the det is rounding
+        # garbage and 1/det-scale gains overflow the K'QuuK update on TPU floats;
+        # zero gains = graceful stall on the incumbent trajectory.
+        ok = det > 100.0 * jnp.finfo(q00.dtype).eps
+        det_inv = jnp.where(ok, 1.0, 0.0) / (
+            jnp.maximum(det, jnp.asarray(1e-30, dtype=q00.dtype)) * s)
         inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover
         raise NotImplementedError("lane solver supports nu in {1, 2}")
@@ -172,10 +189,17 @@ def _ric_kernel(pb: LaneProblem, reg: float,
         ]
         for i in range(nh)
     ]
+    mmax = jnp.zeros_like(vx_new[0])
     for i in range(nh):
-        Vx[i, :] = vx_new[i]
+        mmax = jnp.maximum(mmax, jnp.abs(vx_new[i]))
         for j in range(nh):
-            Vxx[i * nh + j, :] = vxx_new[i][j]
+            mmax = jnp.maximum(mmax, jnp.abs(vxx_new[i][j]))
+    scale_inv = jnp.where(mmax > _V_SCALE_THRESH, _V_SCALE_THRESH / mmax, 1.0)
+    for i in range(nh):
+        Vx[i, :] = vx_new[i] * scale_inv
+        for j in range(nh):
+            Vxx[i * nh + j, :] = vxx_new[i][j] * scale_inv
+    LogS[0, :] = LogS[0, :] - jnp.log(scale_inv)
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +358,7 @@ def lane_ilqr_solve(
         scratch_shapes=[
             pltpu.VMEM((nh, Bt), dtype),
             pltpu.VMEM((nh * nh, Bt), dtype),
+            pltpu.VMEM((1, Bt), dtype),   # LogS: per-lane V scale (log)
         ],
         interpret=interpret,
     )
@@ -383,9 +408,12 @@ def lane_ilqr_solve(
         # gather the winning candidate per lane
         Xn_r = Xn.reshape(N, na, nh, B_pad)
         Un_r = Un.reshape(N, na, m, B_pad)
-        sel = jax.nn.one_hot(best, na, dtype=dtype, axis=0)  # [na, B_pad]
-        X_new_tail = jnp.sum(Xn_r * sel[None, :, None, :], axis=1)
-        U_new = jnp.sum(Un_r * sel[None, :, None, :], axis=1)
+        # where-gather, NOT multiply-by-one-hot: a LOSING candidate with NaN states
+        # (e.g. huge-gain rollouts in barrier-violating regimes) would poison the
+        # winner via NaN * 0 = NaN.
+        sel = jax.nn.one_hot(best, na, dtype=bool, axis=0)   # [na, B_pad]
+        X_new_tail = jnp.sum(jnp.where(sel[None, :, None, :], Xn_r, 0), axis=1)
+        U_new = jnp.sum(jnp.where(sel[None, :, None, :], Un_r, 0), axis=1)
         X_new = jnp.concatenate([x_hat0[None], X_new_tail], axis=0)
 
         live = ~done
