@@ -22,9 +22,18 @@ def main() -> None:
     ap.add_argument("--platform", type=str, default=None, help="jax platform override (cpu/tpu)")
     ap.add_argument("--batch", type=int, default=None,
                     help="run B vmapped disturbance scenarios at once (default: 1)")
+    ap.add_argument("--checkpoint-every", type=int, default=None, metavar="K",
+                    help="paper mode: run in resumable K-step segments, persisting "
+                         "the carry to <run_dir>/ckpt; relaunch with --run-dir to resume")
+    ap.add_argument("--run-dir", type=str, default=None,
+                    help="reuse an existing run dir (required to resume a checkpointed run)")
+    ap.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
+                    help="capture a jax.profiler trace of the run into TRACE_DIR")
     args = ap.parse_args()
     if args.batch is not None and args.batch < 1:
         ap.error("--batch must be >= 1")
+    if args.checkpoint_every is not None and args.checkpoint_every < 1:
+        ap.error("--checkpoint-every must be >= 1")
 
     import jax
 
@@ -42,8 +51,17 @@ def main() -> None:
     if cfg.debug_numerics:
         debug_nans(True)
 
-    run_dir = make_run_dir(cfg.out_dir, cfg.run_name)
-    results = run_experiment(cfg, run_dir, batch=args.batch)
+    run_dir = args.run_dir or make_run_dir(cfg.out_dir, cfg.run_name)
+
+    if args.profile:
+        from tube_mpc_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            results = run_experiment(cfg, run_dir, batch=args.batch,
+                                     checkpoint_every=args.checkpoint_every)
+    else:
+        results = run_experiment(cfg, run_dir, batch=args.batch,
+                                 checkpoint_every=args.checkpoint_every)
 
     with open(args.config, "r", encoding="utf-8") as f:
         import yaml

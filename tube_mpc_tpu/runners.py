@@ -26,7 +26,8 @@ from .systems.obstacles import h_min
 
 
 def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
-                   batch: Optional[int] = None) -> Dict[str, Any]:
+                   batch: Optional[int] = None,
+                   checkpoint_every: Optional[int] = None) -> Dict[str, Any]:
     """Closed-loop adaptive tube MPC; returns the results summary (also written to
     run_dir). Paper mode when paper_dubins_mode and not adapt_nominal
     (reference dispatch tube_mpc.py:48-49).
@@ -35,13 +36,34 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     each scenario adapts its own θ). Scenario 0 is saved as the reference-compatible
     single-run artifacts; the full [B, ...] arrays go to *_batch.npy and the summary
     gains population statistics. batch=None/1 reproduces the single-trajectory
-    reference behavior exactly."""
+    reference behavior exactly.
+
+    checkpoint_every: paper mode, single trajectory only — execute the closed loop
+    in resumable segments of this many steps, persisting the full carry to
+    <run_dir>/ckpt (utils/checkpoint.py); a killed run re-launched with the same
+    run_dir resumes bit-exactly."""
     paper_mode = cfg.paper_dubins_mode and not cfg.adaptation.adapt_nominal
     built = build_experiment(cfg, paper_mode=paper_mode)
     key = jax.random.PRNGKey(cfg.seed)
     B = int(batch) if batch else 0
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
+    if checkpoint_every:
+        if not paper_mode or B > 1 or w_seq is not None:
+            raise ValueError("checkpoint_every requires paper mode, single trajectory")
+        from .utils.checkpoint import run_paper_closed_loop_checkpointed
+
+        t0 = time.perf_counter()
+        log = run_paper_closed_loop_checkpointed(
+            built.system, built.aug, built.tube_cfg,
+            w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+            x0=built.x0, target=built.target, key=key,
+            ckpt_dir=f"{run_dir}/ckpt", segment_len=int(checkpoint_every),
+        )
+        mode = "paper"
+        jax.block_until_ready(log)
+        wall = time.perf_counter() - t0
+        return _finish_single(cfg, run_dir, log, mode, wall)
 
     t0 = time.perf_counter()
     if paper_mode:
@@ -125,18 +147,25 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
             "solves_per_sec": 2 * H * B / wall,
         }
     else:
-        save_closed_loop_log(run_dir, log)
-        summary = {
-            "system": cfg.system.name,
-            "mode": mode,
-            "H": H,
-            "N": cfg.system.horizon_N,
-            "final_state": np.asarray(log.x_real[-1]).tolist(),
-            "final_barrier_state": float(np.asarray(log.b_real[-1])),
-            "final_loss": float(np.asarray(log.loss[-1])),
-            "wall_time_s": wall,
-            "solves_per_sec": 2 * H / wall,
-        }
+        return _finish_single(cfg, run_dir, log, mode, wall)
+    save_json(run_dir, "results_summary.json", summary)
+    return {"summary": summary, "log": log}
+
+
+def _finish_single(cfg: ExperimentConfig, run_dir: str, log, mode: str, wall: float) -> Dict[str, Any]:
+    H = cfg.system.task_horizon_H
+    save_closed_loop_log(run_dir, log)
+    summary = {
+        "system": cfg.system.name,
+        "mode": mode,
+        "H": H,
+        "N": cfg.system.horizon_N,
+        "final_state": np.asarray(log.x_real[-1]).tolist(),
+        "final_barrier_state": float(np.asarray(log.b_real[-1])),
+        "final_loss": float(np.asarray(log.loss[-1])),
+        "wall_time_s": wall,
+        "solves_per_sec": 2 * H / wall,
+    }
     save_json(run_dir, "results_summary.json", summary)
     return {"summary": summary, "log": log}
 

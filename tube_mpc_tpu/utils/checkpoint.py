@@ -84,10 +84,13 @@ def run_paper_closed_loop_checkpointed(
 ) -> ClosedLoopLog:
     """Segmented, resumable version of run_paper_closed_loop.
 
-    Produces bit-identical logs to the monolithic scan for the same (key, config):
-    the full disturbance sequence is generated from `key` up front, segments consume
-    slices of it, and the carry is checkpointed at segment boundaries. If ckpt_dir
-    already holds checkpoints for this run, execution resumes after the last one.
+    Kill/resume is BIT-exact: the full disturbance sequence is generated from `key`
+    up front, segments consume slices of it, and the carry is checkpointed at
+    segment boundaries, so a resumed run re-executes the same jitted segment program
+    on the same inputs. Against the MONOLITHIC scan the results agree to ulp level
+    (measured: <= 1 ulp on a few steps — the H-length and segment-length scans
+    compile to differently fused programs). If ckpt_dir already holds checkpoints
+    for this run, execution resumes after the last one.
     """
     H = cfg.H
     dtype = x0.dtype
