@@ -1,0 +1,294 @@
+"""Lane-major fused DDP sensitivity + closed-form Algorithm-2 gradient kernels.
+
+Measured motivation: in the lane closed loop the two warm-started iLQR solves
+converge in a few iterations, and the per-step bottleneck became the VMAPPED
+feature-last XLA sensitivity sweep — ~68 ms of a ~77 ms step at B=8192 (HBM-tiled
+4x4 matrices again, the same 64x density loss the lane solver removed). These
+kernels run the O(T) delta-z sweeps in the same [component-row, B-lanes] layout as
+ops/pallas/lane_solver.py:
+
+  K_sbwd — backward recursion on (V_xx, tV_x) with active-set elimination
+           (reference ``ddp.py:360-410``; masked semantics of
+           ops/linalg.masked_reduced_solve: rows/cols of clamped dims -> identity,
+           so K/kff are exactly zero there), upper gradient
+           g_x = 2 (x - x_ref) built in-kernel (the tube upper loss
+           L = ||x* - x_bar||^2 + ||b*||^2), g_u = 0. Scaled V carry + scale-
+           invariant resolve-or-zero inverses as in the solver kernels.
+  K_sfwd — forward delta-rollout delta_x+ = A dx + B dv, dv = kff + K dx
+           (reference ``ddp.py:412-425``), FUSED with the closed-form weight
+           gradient accumulation (reference ``tube_mpc.py:963-976``):
+             gQ_i  = sum_k 2 (x_k - xref_k)_i dx_k_i   (incl. terminal; Qf == Q)
+             gqb   = sum_k 2 b_k db_k                  (incl. terminal)
+             gR_a  = sum_k 2 (u_k - uref_k)_a dv_k_a
+           accumulated per lane in revisited output rows; delta_lambda is never
+           materialized (the closed-form gradients don't need it).
+
+The const-row layout C and the LaneProblem are shared with lane_solver.py.
+Equivalence vs the vmapped XLA path (solvers/sensitivity.py +
+solvers/weight_grads.py) is pinned in tests/test_lane_sensitivity.py.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lane_solver import LaneProblem, _lin_kernel, _pad_lanes
+
+_V_SCALE_THRESH = 1e8
+
+
+def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
+                 A_ref, B_ref, U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
+                 K_out, kff_out, Vxx, tVx, LogS):
+    nh, m = pb.n_hat, pb.m
+    kidx = pl.program_id(1)
+
+    @pl.when(kidx == 0)
+    def _init():
+        # V_xx(N) = terminal Hessian diag; tV_x(N) = g_x(N) = 2 (x_N - xref_N)
+        for i in range(nh):
+            tVx[i, :] = 2.0 * (XN_ref[i, :] - XrN_ref[i, :])
+            for j in range(nh):
+                Vxx[i * nh + j, :] = jnp.where(i == j, C_ref[nh + m + i, :], 0.0)
+        LogS[0, :] = jnp.zeros_like(LogS[0, :])
+
+    inv_s = jnp.exp(-LogS[0, :])
+
+    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
+    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
+    us = [U_ref[0, a, :] for a in range(m)]
+    gx = [2.0 * (X_ref[0, i, :] - Xr_ref[0, i, :]) * inv_s for i in range(nh)]
+    vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
+    tv = [tVx[i, :] for i in range(nh)]
+
+    VA = [[sum(vxx[i][l] * A[l][j] for l in range(nh)) for j in range(nh)] for i in range(nh)]
+    VB = [[sum(vxx[i][l] * Bm[l][a] for l in range(nh)) for a in range(m)] for i in range(nh)]
+    Qxx = [[(C_ref[i, :] * inv_s if i == j else 0.0) + sum(A[l][i] * VA[l][j] for l in range(nh))
+            for j in range(nh)] for i in range(nh)]
+    Qxu = [[sum(A[l][i] * VB[l][a] for l in range(nh)) for a in range(m)] for i in range(nh)]
+    Qux = [[sum(Bm[l][a] * VA[l][i] for l in range(nh)) for i in range(nh)] for a in range(m)]
+    Quu = [[(C_ref[nh + a, :] * inv_s if a == b else 0.0) + sum(Bm[l][a] * VB[l][b] for l in range(nh))
+            for b in range(m)] for a in range(m)]
+    tQu = [sum(Bm[l][a] * tv[l] for l in range(nh)) for a in range(m)]          # g_u = 0
+    tQx = [gx[i] + sum(A[l][i] * tv[l] for l in range(nh)) for i in range(nh)]
+    regs = reg * inv_s
+
+    # active-set elimination (reference control.py:66-70 + masked_reduced_solve)
+    am = [jnp.where((us[a] <= pb.u_min[a] + active_tol) | (us[a] >= pb.u_max[a] - active_tol),
+                    0.0, 1.0) for a in range(m)]
+    act = [1.0 - am[a] for a in range(m)]
+    Qm = [[(Quu[a][b] + (regs if a == b else 0.0)) * am[a] * am[b] + (act[a] if a == b else 0.0)
+           for b in range(m)] for a in range(m)]
+    Qux_m = [[Qux[a][i] * am[a] for i in range(nh)] for a in range(m)]
+    tQu_m = [tQu[a] * am[a] for a in range(m)]
+
+    if m == 1:
+        inv = [[1.0 / Qm[0][0]]]
+    elif m == 2:
+        q00, q01, q10, q11 = Qm[0][0], Qm[0][1], Qm[1][0], Qm[1][1]
+        s = jnp.maximum(jnp.maximum(jnp.abs(q00), jnp.abs(q01)),
+                        jnp.maximum(jnp.abs(q10), jnp.abs(q11)))
+        s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
+        n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
+        det = n00 * n11 - n01 * n10
+        ok = det > 100.0 * jnp.finfo(q00.dtype).eps
+        det_inv = jnp.where(ok, 1.0, 0.0) / (
+            jnp.maximum(det, jnp.asarray(1e-30, dtype=q00.dtype)) * s)
+        inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
+    else:  # pragma: no cover
+        raise NotImplementedError("lane sensitivity supports nu in {1, 2}")
+
+    K = [[-sum(inv[a][b] * Qux_m[b][i] for b in range(m)) for i in range(nh)] for a in range(m)]
+    kf = [-sum(inv[a][b] * tQu_m[b] for b in range(m)) for a in range(m)]
+
+    for a in range(m):
+        kff_out[0, a, :] = kf[a]
+        for i in range(nh):
+            K_out[0, a * nh + i, :] = K[a][i]
+
+    tv_new = [tQx[i] + sum(Qxu[i][a] * kf[a] for a in range(m)) for i in range(nh)]
+    vxx_new = [[Qxx[i][j] + sum(Qxu[i][a] * K[a][j] for a in range(m)) for j in range(nh)]
+               for i in range(nh)]
+
+    mmax = jnp.zeros_like(tv_new[0])
+    for i in range(nh):
+        mmax = jnp.maximum(mmax, jnp.abs(tv_new[i]))
+        for j in range(nh):
+            mmax = jnp.maximum(mmax, jnp.abs(vxx_new[i][j]))
+    scale_inv = jnp.where(mmax > _V_SCALE_THRESH, _V_SCALE_THRESH / mmax, 1.0)
+    for i in range(nh):
+        tVx[i, :] = tv_new[i] * scale_inv
+        for j in range(nh):
+            Vxx[i * nh + j, :] = vxx_new[i][j] * scale_inv
+    LogS[0, :] = LogS[0, :] - jnp.log(scale_inv)
+
+
+def _sfwd_kernel(pb: LaneProblem, n_steps: int,
+                 A_ref, B_ref, K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref,
+                 XN_ref, XrN_ref,
+                 gx_out, gr_out, dx_scr):
+    nh, m = pb.n_hat, pb.m
+    kidx = pl.program_id(1)
+
+    @pl.when(kidx == 0)
+    def _init():
+        for i in range(nh):
+            dx_scr[i, :] = jnp.zeros_like(dx_scr[i, :])
+        gx_out[:, :] = jnp.zeros_like(gx_out)
+        gr_out[:, :] = jnp.zeros_like(gr_out)
+
+    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
+    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
+    K = [[K_ref[0, a * nh + i, :] for i in range(nh)] for a in range(m)]
+    kf = [kff_ref[0, a, :] for a in range(m)]
+    dx = [dx_scr[i, :] for i in range(nh)]
+
+    dv = [kf[a] + sum(K[a][i] * dx[i] for i in range(nh)) for a in range(m)]
+    # stage accumulations at k (dx is delta_x_k, PRE-step)
+    for i in range(nh):
+        gx_out[i, :] += 2.0 * (X_ref[0, i, :] - Xr_ref[0, i, :]) * dx[i]
+    for a in range(m):
+        gr_out[a, :] += 2.0 * (U_ref[0, a, :] - Ur_ref[0, a, :]) * dv[a]
+
+    dx_next = [sum(A[i][j] * dx[j] for j in range(nh)) + sum(Bm[i][a] * dv[a] for a in range(m))
+               for i in range(nh)]
+    for i in range(nh):
+        dx_scr[i, :] = dx_next[i]
+
+    @pl.when(kidx == n_steps - 1)
+    def _terminal():
+        for i in range(nh):
+            gx_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
+
+
+def lane_sensitivity_grads(
+    pb: LaneProblem,
+    *,
+    X: Array,       # [N+1, n̂, B] rows (solved aux trajectory)
+    U: Array,       # [N, m, B] rows
+    X_ref: Array,   # [N+1, n̂, B] rows (barrier row zero)
+    U_ref: Array,   # [N, m, B] rows
+    C: Array,       # [nc, B] const rows (current aux weights)
+    reg: float = 1e-9,
+    active_tol: float = 1e-8,
+    block_b: int = 512,
+    interpret: bool = False,
+) -> Tuple[Array, Array]:
+    """Fused delta-z sweep + closed-form weight gradients, lane-major.
+
+    Returns (gx_rows [n̂, B], gr_rows [m, B]): rows 0..n-1 of gx_rows are dL/dQ,
+    row n is dL/dq_b, gr_rows is dL/dR — exactly grads_aux_from_deltas on the
+    ddp_sensitivity result (parity-tested)."""
+    nh, m = pb.n_hat, pb.m
+    N = U.shape[0]
+    B = U.shape[-1]
+    dtype = U.dtype
+
+    Bt = min(block_b, 512)
+    B_pad = ((B + Bt - 1) // Bt) * Bt
+    nb = B_pad // Bt
+    X = _pad_lanes(X, B_pad)
+    U = _pad_lanes(U, B_pad)
+    X_ref = _pad_lanes(X_ref, B_pad)
+    U_ref = _pad_lanes(U_ref, B_pad)
+    C = _pad_lanes(C, B_pad)
+    if B_pad != B:
+        ones_pad = jnp.concatenate(
+            [jnp.zeros((C.shape[0], B), dtype), jnp.ones((C.shape[0], B_pad - B), dtype)], axis=-1
+        )
+        C = jnp.where(ones_pad > 0, 1.0, C)
+
+    kb = lambda b, k: (k, 0, b)
+    kb_rev = lambda b, k: (N - 1 - k, 0, b)
+    fixed = lambda b, k: (0, b)
+
+    lin = pl.pallas_call(
+        functools.partial(_lin_kernel, pb),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, nh * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, nh * m, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+        ],
+        interpret=interpret,
+    )
+    A, Bm, _lx, _lu = lin(X[:-1], U, X_ref[:-1], U_ref, C)
+
+    sbwd = pl.pallas_call(
+        functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol)),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, nh * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh * m, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+        ],
+        out_specs=[
+            pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, m * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((nh * nh, Bt), dtype),
+            pltpu.VMEM((nh, Bt), dtype),
+            pltpu.VMEM((1, Bt), dtype),
+        ],
+        interpret=interpret,
+    )
+    K, kff = sbwd(A, Bm, U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
+
+    sfwd = pl.pallas_call(
+        functools.partial(_sfwd_kernel, pb, N),
+        grid=(nb, N),
+        in_specs=[
+            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
+            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+        ],
+        out_specs=[
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, Bt), fixed, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((m, B_pad), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((nh, Bt), dtype)],
+        interpret=interpret,
+    )
+    gx, gr = sfwd(A, Bm, K, kff, X[:-1], X_ref[:-1], U, U_ref, X[-1], X_ref[-1])
+    return gx[..., :B], gr[..., :B]

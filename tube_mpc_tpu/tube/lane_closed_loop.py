@@ -25,13 +25,14 @@ from jax import Array
 from ..ops.costs import CostWeights
 from ..ops.dbas import AugmentedDynamics, BarrierParams
 from ..ops.lanes import ComponentSystem
-from ..solvers.sensitivity import ddp_sensitivity
-from ..solvers.weight_grads import grads_aux_from_deltas
 from ..systems.base import System
 from .closed_loop import ClosedLoopLog, TubeMPCConfig
-from .lane_interface import make_lane_problem, tube_ilqr_solve_lanes
+from .lane_interface import (
+    make_lane_problem,
+    tube_ilqr_solve_lanes,
+    tube_sensitivity_grads_lanes,
+)
 from .params import AuxAdapt, momentum_update, project_aux_adapt
-from .problem import AuxTheta, make_aux_ocp
 
 
 class LaneLoopState(NamedTuple):
@@ -80,7 +81,6 @@ def run_paper_closed_loop_lanes(
         x0 = jnp.broadcast_to(x0, (B, nx))
 
     pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
-    ocp_aux = make_aux_ocp(system, aug)
     nom_cfg = cfg.nominal_ilqr()
     aux_cfg = cfg.aux_ilqr()
 
@@ -116,18 +116,12 @@ def run_paper_closed_loop_lanes(
             block_b=block_b, interpret=interpret,
         )
 
-        # upper loss + closed-form Algorithm-2 gradient from the δz sensitivity
+        # upper loss + closed-form Algorithm-2 gradient from the δz sensitivity,
+        # computed by the fused lane kernels (the vmapped feature-last XLA sweep
+        # was ~89% of the step at B=8192; see ops/pallas/lane_sensitivity.py).
         dx = X_aux[..., :nx] - X_ref                 # [B, N+1, nx]
         db = X_aux[..., nx]                          # [B, N+1]
-        du = U_aux - U_nom
         L = jnp.sum(dx * dx, axis=(-2, -1)) + jnp.sum(db * db, axis=-1)  # [B]
-
-        g_X = jnp.concatenate([2.0 * dx, (2.0 * db)[..., None]], axis=-1)
-        g_U = jnp.zeros_like(U_aux)
-
-        def sens_one(Q, R, qb, Xr, Ur, X, U, gX, gU):
-            th = AuxTheta(w=CostWeights(Q=Q, R=R, Qf=Q, qb=qb), bp=bp, X_ref=Xr, U_ref=Ur)
-            return ddp_sensitivity(ocp_aux, th, X, U, gX, gU, reg=1e-9)
 
         if population:
             Qb = jnp.broadcast_to(state.adapt.Q, (B, nx))
@@ -135,10 +129,29 @@ def run_paper_closed_loop_lanes(
             qbb = jnp.broadcast_to(state.adapt.qb, (B,))
         else:
             Qb, Rb, qbb = state.adapt.Q, state.adapt.R, state.adapt.qb
-        sens = jax.vmap(sens_one)(Qb, Rb, qbb, X_ref, U_nom, X_aux, U_aux, g_X, g_U)
-        grads = grads_aux_from_deltas(X_aux, U_aux, X_ref, U_nom, sens)
+        grads = tube_sensitivity_grads_lanes(
+            pb, w=CostWeights(Q=Qb, R=Rb, Qf=Qb, qb=qbb), bp=bp,
+            X_hat=X_aux, U=U_aux, X_ref=X_ref, U_ref=U_nom,
+            reg=1e-9, block_b=block_b, interpret=interpret,
+        )
+        # Fault isolation (parallel/scenarios.py design): in barrier-violating
+        # regimes the TRUE sensitivity is astronomical and overflows f32 — a lane
+        # whose gradient is non-finite skips this update (θ keeps its value and the
+        # lane recovers once it escapes) instead of poisoning its θ forever.
+        ok = (
+            jnp.isfinite(grads.Q).all(axis=-1)
+            & jnp.isfinite(grads.R).all(axis=-1)
+            & jnp.isfinite(grads.qb)
+            & jnp.isfinite(L)
+        )  # [B]
+        grads = AuxAdapt(
+            Q=jnp.where(ok[:, None], grads.Q, 0.0),
+            R=jnp.where(ok[:, None], grads.R, 0.0),
+            qb=jnp.where(ok, grads.qb, 0.0),
+        )
         if population:
-            grads = jax.tree.map(lambda g: jnp.mean(g, axis=0), grads)
+            cnt = jnp.maximum(jnp.sum(ok.astype(L.dtype)), 1.0)
+            grads = jax.tree.map(lambda g: jnp.sum(g, axis=0) / cnt, grads)
 
         adapt, vel = momentum_update(state.adapt, grads, state.vel, cfg.adapt, project_aux_adapt)
 

@@ -131,3 +131,38 @@ def _build_C(pb: LaneProblem, w: CostWeights, bp: BarrierParams, B: int, dtype) 
         + [scal(bp.alpha), scal(bp.gamma), scal(bp.tight)]
     )
     return jnp.stack(rows, axis=0)
+
+
+def tube_sensitivity_grads_lanes(
+    pb: LaneProblem,
+    *,
+    w: CostWeights,
+    bp: BarrierParams,
+    X_hat: Array,    # [B, N+1, n̂]  solved aux trajectory
+    U: Array,        # [B, N, m]
+    X_ref: Array,    # [B, N+1, n]  physical reference (nominal plan)
+    U_ref: Array,    # [B, N, m]
+    reg: float = 1e-9,
+    active_tol: float = 1e-8,
+    block_b: int = 512,
+    interpret: bool = False,
+):
+    """Fused lane-major δz sweep + closed-form Algorithm-2 weight gradients.
+
+    Returns an AuxAdapt of per-lane gradients (Q [B, n], R [B, m], qb [B]) equal to
+    grads_aux_from_deltas(ddp_sensitivity(...)) on the feature-last path
+    (tests/test_lane_sensitivity.py)."""
+    from ..ops.pallas.lane_sensitivity import lane_sensitivity_grads
+    from .params import AuxAdapt
+
+    B = U.shape[0]
+    dtype = U.dtype
+    Xr_hat = jnp.concatenate(
+        [X_ref, jnp.zeros(X_ref.shape[:-1] + (1,), dtype=dtype)], axis=-1
+    )
+    C = _build_C(pb, w, bp, B, dtype)
+    gx, gr = lane_sensitivity_grads(
+        pb, X=_rows(X_hat), U=_rows(U), X_ref=_rows(Xr_hat), U_ref=_rows(U_ref),
+        C=C, reg=reg, active_tol=active_tol, block_b=block_b, interpret=interpret,
+    )
+    return AuxAdapt(Q=_unrows(gx[: pb.n]), R=_unrows(gr), qb=gx[pb.n])
