@@ -30,7 +30,7 @@ def main() -> None:
     from tube_mpc_tpu.tube.closed_loop import run_paper_closed_loop
     from tube_mpc_tpu.tube.lane_closed_loop import run_paper_closed_loop_lanes
 
-    B = int(os.environ.get("BENCH_B", 8192))
+    B = int(os.environ.get("BENCH_B", 16384))
     H = int(os.environ.get("BENCH_H", 16))
     path = os.environ.get("BENCH_PATH", "lanes")
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)

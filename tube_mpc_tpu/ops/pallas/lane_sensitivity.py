@@ -177,7 +177,7 @@ def lane_sensitivity_grads(
     C: Array,       # [nc, B] const rows (current aux weights)
     reg: float = 1e-9,
     active_tol: float = 1e-8,
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Fused delta-z sweep + closed-form weight gradients, lane-major.
@@ -190,7 +190,10 @@ def lane_sensitivity_grads(
     B = U.shape[-1]
     dtype = U.dtype
 
-    Bt = min(block_b, 512)
+    # Block width: wide blocks amortize per-grid-step overhead (measured: 512 ->
+    # 4096 lanes doubled closed-loop throughput); clamp to the rounded-up lane
+    # count so small batches don't pad to a full block.
+    Bt = min(block_b, max(128, ((B + 127) // 128) * 128))
     B_pad = ((B + Bt - 1) // Bt) * Bt
     nb = B_pad // Bt
     X = _pad_lanes(X, B_pad)

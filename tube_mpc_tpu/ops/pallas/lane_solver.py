@@ -280,7 +280,7 @@ def lane_ilqr_solve(
     tol: float,
     reg: float,
     alphas: Tuple[float, ...],
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows."""
@@ -290,7 +290,10 @@ def lane_ilqr_solve(
     na = len(alphas)
     dtype = U0.dtype
 
-    Bt = min(block_b, 512)
+    # Block width: wide blocks amortize per-grid-step overhead (measured: 512 ->
+    # 4096 lanes doubled closed-loop throughput); clamp to the rounded-up lane
+    # count so small batches don't pad to a full block.
+    Bt = min(block_b, max(128, ((B + 127) // 128) * 128))
     B_pad = ((B + Bt - 1) // Bt) * Bt
     nb = B_pad // Bt
 

@@ -63,7 +63,7 @@ def run_paper_closed_loop_lanes(
     eps: float = 1e-4,
     barrier_type: str = "inverse",
     population: bool = False,
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ) -> ClosedLoopLog:
     """Returns a ClosedLoopLog with leading batch dim [B, H, ...]."""

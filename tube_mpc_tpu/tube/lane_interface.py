@@ -51,7 +51,7 @@ def tube_ilqr_solve_lanes(
     U_init: Array,            # [B, N, m]
     X_ref: Array,             # [B, N+1, n]  (or [N+1, n] broadcast: goal tracking)
     U_ref: Array,             # [B, N, m]    (or [N, m] broadcast)
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ) -> Tuple[Array, Array]:
     """Solve B tube OCPs at once with the fused lane kernels.
@@ -144,7 +144,7 @@ def tube_sensitivity_grads_lanes(
     U_ref: Array,    # [B, N, m]
     reg: float = 1e-9,
     active_tol: float = 1e-8,
-    block_b: int = 512,
+    block_b: int = 4096,
     interpret: bool = False,
 ):
     """Fused lane-major δz sweep + closed-form Algorithm-2 weight gradients.
