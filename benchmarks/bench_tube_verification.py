@@ -29,9 +29,19 @@ def main() -> None:
     from tube_mpc_tpu.systems.obstacles import CircleField, h_min
     from tube_mpc_tpu.presets import PAPER_OBSTACLES
 
-    B = int(os.environ.get("BENCH_B", 4096))
+    B = int(os.environ.get("BENCH_B", 65536))
     H = int(os.environ.get("BENCH_H", 32))
+    engine = os.environ.get("BENCH_ENGINE", "lanes")
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
+    sys_c = None
+    if engine == "lanes":
+        from tube_mpc_tpu.ops.lanes import dubins_components
+
+        sys_c = dubins_components(
+            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=3.141592653589793,
+            centers=PAPER_OBSTACLES, radii=[1.0] * len(PAPER_OBSTACLES),
+            aggregation="smoothmin", beta=20.0,
+        )
     field = CircleField(
         centers=jnp.asarray([list(c) for c in PAPER_OBSTACLES], dtype=jnp.float32),
         radii=jnp.ones((len(PAPER_OBSTACLES),), dtype=jnp.float32),
@@ -42,6 +52,7 @@ def main() -> None:
     run = jax.jit(lambda ks: tube_verification(
         s.system, s.aug, s.cfg, w_nominal=s.w_nominal, w_aux=w_aux, bp=s.bp,
         x0=s.x0, target=s.target, keys=ks, h_exact=lambda x: h_min(x, field),
+        sys_c=sys_c,
     ))
     logs, stats = run(keys)          # compile + warmup
     jax.block_until_ready(stats)
@@ -52,6 +63,7 @@ def main() -> None:
 
     print(json.dumps({
         "metric": "tube_verification_scenarios_per_sec",
+        "engine": engine,
         "B": B, "H": H, "N": 50,
         "value": round(B / el, 1),
         "unit": "full-closed-loop scenarios/s",

@@ -47,8 +47,11 @@ def solve_spd(A: Array, B: Array) -> Array:
         # return X = 0 (the solver keeps its incumbent trajectory — a graceful
         # stall, like the reference's line-search rejection of garbage candidates).
         # Identity for any resolvable solve (normalized det >> 100*eps).
-        ok = det > 100.0 * jnp.finfo(A.dtype).eps
-        inv_det = 1.0 / (jnp.maximum(det, jnp.asarray(1e-30, dtype=A.dtype)) * s)
+        # |det|: a resolvable INDEFINITE system (det < 0) is a legitimate solve the
+        # reference performs (torch.linalg.solve); only unresolvable magnitudes zero.
+        ok = jnp.abs(det) > 100.0 * jnp.finfo(A.dtype).eps
+        safe_det = jnp.where(ok, det, jnp.ones_like(det))
+        inv_det = jnp.where(ok, 1.0, 0.0) / (safe_det * s)
         x0 = (d[..., None] * B[..., 0, :] - b[..., None] * B[..., 1, :]) * inv_det[..., None]
         x1 = (-c[..., None] * B[..., 0, :] + a[..., None] * B[..., 1, :]) * inv_det[..., None]
         X = jnp.where(ok[..., None, None], jnp.stack([x0, x1], axis=-2), 0.0)

@@ -97,9 +97,9 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
         s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
         n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
         det = n00 * n11 - n01 * n10
-        ok = det > 100.0 * jnp.finfo(q00.dtype).eps
-        det_inv = jnp.where(ok, 1.0, 0.0) / (
-            jnp.maximum(det, jnp.asarray(1e-30, dtype=q00.dtype)) * s)
+        ok = jnp.abs(det) > 100.0 * jnp.finfo(q00.dtype).eps  # see ops/linalg.py
+        safe_det = jnp.where(ok, det, jnp.ones_like(det))
+        det_inv = jnp.where(ok, 1.0, 0.0) / (safe_det * s)
         inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover
         raise NotImplementedError("lane sensitivity supports nu in {1, 2}")
@@ -122,11 +122,14 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
         for j in range(nh):
             mmax = jnp.maximum(mmax, jnp.abs(vxx_new[i][j]))
     scale_inv = jnp.where(mmax > _V_SCALE_THRESH, _V_SCALE_THRESH / mmax, 1.0)
+    def _safe(v):  # NaN-scrub, see lane_solver._ric_kernel
+        v = v * scale_inv
+        return jnp.where(jnp.isfinite(v), v, 0.0)
     for i in range(nh):
-        tVx[i, :] = tv_new[i] * scale_inv
+        tVx[i, :] = _safe(tv_new[i])
         for j in range(nh):
-            Vxx[i * nh + j, :] = vxx_new[i][j] * scale_inv
-    LogS[0, :] = LogS[0, :] - jnp.log(scale_inv)
+            Vxx[i * nh + j, :] = _safe(vxx_new[i][j])
+    LogS[0, :] = LogS[0, :] - jnp.log(jnp.maximum(scale_inv, jnp.finfo(scale_inv.dtype).tiny))
 
 
 def _sfwd_kernel(pb: LaneProblem, n_steps: int,

@@ -153,12 +153,13 @@ def _ric_kernel(pb: LaneProblem, reg: float,
         s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
         n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
         det = n00 * n11 - n01 * n10
-        # resolve-or-zero (see ops/linalg.py): below ~100 ulps the det is rounding
-        # garbage and 1/det-scale gains overflow the K'QuuK update on TPU floats;
-        # zero gains = graceful stall on the incumbent trajectory.
-        ok = det > 100.0 * jnp.finfo(q00.dtype).eps
-        det_inv = jnp.where(ok, 1.0, 0.0) / (
-            jnp.maximum(det, jnp.asarray(1e-30, dtype=q00.dtype)) * s)
+        # resolve-or-zero (see ops/linalg.py): below ~100 ulps of |det| the solve is
+        # rounding garbage and 1/det-scale gains overflow the K'QuuK update on TPU
+        # floats; zero gains = graceful stall on the incumbent trajectory. Resolvable
+        # indefinite systems (det < 0) are solved sign-preserved, like the reference.
+        ok = jnp.abs(det) > 100.0 * jnp.finfo(q00.dtype).eps
+        safe_det = jnp.where(ok, det, jnp.ones_like(det))
+        det_inv = jnp.where(ok, 1.0, 0.0) / (safe_det * s)
         inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover
         raise NotImplementedError("lane solver supports nu in {1, 2}")
@@ -195,11 +196,17 @@ def _ric_kernel(pb: LaneProblem, reg: float,
         for j in range(nh):
             mmax = jnp.maximum(mmax, jnp.abs(vxx_new[i][j]))
     scale_inv = jnp.where(mmax > _V_SCALE_THRESH, _V_SCALE_THRESH / mmax, 1.0)
+    # NaN-scrub: if the update exploded to inf within one step (indefinite-garbage
+    # gains), scale_inv is 0 and inf*0 = NaN; reset those entries to 0 — subsequent
+    # gains are zero and the lane stalls gracefully instead of going NaN forever.
+    def _safe(v):
+        v = v * scale_inv
+        return jnp.where(jnp.isfinite(v), v, 0.0)
     for i in range(nh):
-        Vx[i, :] = vx_new[i] * scale_inv
+        Vx[i, :] = _safe(vx_new[i])
         for j in range(nh):
-            Vxx[i * nh + j, :] = vxx_new[i][j] * scale_inv
-    LogS[0, :] = LogS[0, :] - jnp.log(scale_inv)
+            Vxx[i * nh + j, :] = _safe(vxx_new[i][j])
+    LogS[0, :] = LogS[0, :] - jnp.log(jnp.maximum(scale_inv, jnp.finfo(scale_inv.dtype).tiny))
 
 
 # ---------------------------------------------------------------------------

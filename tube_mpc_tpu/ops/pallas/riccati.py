@@ -83,12 +83,13 @@ def _riccati_kernel(n: int, m: int, reg: float,
         s = jnp.maximum(s, jnp.finfo(q00.dtype).tiny)
         n00, n01, n10, n11 = q00 / s, q01 / s, q10 / s, q11 / s
         det = n00 * n11 - n01 * n10
-        # resolve-or-zero (see ops/linalg.py): below ~100 ulps the det is rounding
-        # garbage and 1/det-scale gains overflow the K'QuuK update on TPU floats;
-        # zero gains = graceful stall on the incumbent trajectory.
-        ok = det > 100.0 * jnp.finfo(q00.dtype).eps
-        det_inv = jnp.where(ok, 1.0, 0.0) / (
-            jnp.maximum(det, jnp.asarray(1e-30, dtype=q00.dtype)) * s)
+        # resolve-or-zero (see ops/linalg.py): below ~100 ulps of |det| the solve is
+        # rounding garbage and 1/det-scale gains overflow the K'QuuK update on TPU
+        # floats; zero gains = graceful stall on the incumbent trajectory. Resolvable
+        # indefinite systems (det < 0) are solved sign-preserved, like the reference.
+        ok = jnp.abs(det) > 100.0 * jnp.finfo(q00.dtype).eps
+        safe_det = jnp.where(ok, det, jnp.ones_like(det))
+        det_inv = jnp.where(ok, 1.0, 0.0) / (safe_det * s)
         inv = [[n11 * det_inv, -n01 * det_inv], [-n10 * det_inv, n00 * det_inv]]
     else:  # pragma: no cover — wrapper guards this
         raise NotImplementedError("pallas riccati kernel supports nu in {1, 2}")

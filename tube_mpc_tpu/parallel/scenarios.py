@@ -78,12 +78,18 @@ def tube_verification(
     target: Array,
     keys: Array,
     h_exact=None,
+    sys_c=None,
+    eps: float = 1e-4,
 ) -> tuple[ClosedLoopLog, TubeStats]:
     """Monte-Carlo tube check: B closed loops with FIXED ancillary weights, then
     deviation/safety statistics against the (disturbance-free) nominal trajectory.
 
     This is the batched analogue of re-running the reference experiment many times —
     one vmapped program instead of B processes (SURVEY.md §2b row 1).
+
+    sys_c: a ComponentSystem (ops/lanes.py) routes the closed loops through the fused
+    lane Pallas pipeline (~100x faster at fleet scale, f32) — disturbances are drawn
+    per key exactly as on the XLA path, so both engines verify the same noise.
     """
     if h_exact is None:
         h_exact = system.h
@@ -95,13 +101,25 @@ def tube_verification(
     )
     aux_init = AuxAdapt(Q=w_aux.Q, R=w_aux.R, qb=w_aux.qb)
 
-    def one(key):
-        return run_paper_closed_loop(
-            system, aug, adapt_off,
-            w_nominal=w_nominal, aux_init=aux_init, bp=bp, x0=x0, target=target, key=key,
-        )
+    if sys_c is not None:
+        from ..tube.lane_closed_loop import run_paper_closed_loop_lanes
 
-    logs = jax.vmap(one)(keys)
+        w_seqs = jax.vmap(
+            lambda k: system.sample_disturbance(k, (cfg.H,), dtype=x0.dtype)
+        )(keys)
+        logs = run_paper_closed_loop_lanes(
+            system, aug, sys_c, adapt_off,
+            w_nominal=w_nominal, aux_init=aux_init, bp=bp,
+            x0=x0, target=target, w_seqs=w_seqs, eps=eps,
+        )
+    else:
+        def one(key):
+            return run_paper_closed_loop(
+                system, aug, adapt_off,
+                w_nominal=w_nominal, aux_init=aux_init, bp=bp, x0=x0, target=target, key=key,
+            )
+
+        logs = jax.vmap(one)(keys)
     dev = jnp.linalg.norm(logs.x_real - logs.x_bar, axis=-1)   # [B, H]
     h_vals = h_exact(logs.x_real)                               # [B, H]
     collided = jnp.any(h_vals <= 0.0, axis=-1)
