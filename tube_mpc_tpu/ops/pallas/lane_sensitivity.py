@@ -38,13 +38,14 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lane_solver import LaneProblem, _lin_kernel, _pad_lanes
+from ..lanes import jac_rows
+from .lane_solver import LaneProblem, _bp_from_C, _pad_lanes
 
 _V_SCALE_THRESH = 1e8
 
 
 def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
-                 A_ref, B_ref, U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
+                 U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
                  K_out, kff_out, Vxx, tVx, LogS):
     nh, m = pb.n_hat, pb.m
     kidx = pl.program_id(1)
@@ -60,10 +61,12 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
 
     inv_s = jnp.exp(-LogS[0, :])
 
-    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
-    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
+    # fused in-kernel linearization (see lane_solver._ric_kernel)
+    xs = tuple(X_ref[0, i, :] for i in range(nh))
     us = [U_ref[0, a, :] for a in range(m)]
-    gx = [2.0 * (X_ref[0, i, :] - Xr_ref[0, i, :]) * inv_s for i in range(nh)]
+    bp = _bp_from_C(pb, C_ref)
+    A, Bm = jac_rows(lambda xx, uu: pb.f_hat(xx, uu, bp), xs, tuple(us))
+    gx = [2.0 * (xs[i] - Xr_ref[0, i, :]) * inv_s for i in range(nh)]
     vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
     tv = [tVx[i, :] for i in range(nh)]
 
@@ -133,7 +136,7 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
 
 
 def _sfwd_kernel(pb: LaneProblem, n_steps: int,
-                 A_ref, B_ref, K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref,
+                 K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref, C_ref,
                  XN_ref, XrN_ref,
                  gx_out, gr_out, dx_scr):
     nh, m = pb.n_hat, pb.m
@@ -146,21 +149,24 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int,
         gx_out[:, :] = jnp.zeros_like(gx_out)
         gr_out[:, :] = jnp.zeros_like(gr_out)
 
-    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
-    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
     K = [[K_ref[0, a * nh + i, :] for i in range(nh)] for a in range(m)]
     kf = [kff_ref[0, a, :] for a in range(m)]
     dx = [dx_scr[i, :] for i in range(nh)]
+    xs = tuple(X_ref[0, i, :] for i in range(nh))
+    us = tuple(U_ref[0, a, :] for a in range(m))
+    bp = _bp_from_C(pb, C_ref)
 
     dv = [kf[a] + sum(K[a][i] * dx[i] for i in range(nh)) for a in range(m)]
     # stage accumulations at k (dx is delta_x_k, PRE-step)
     for i in range(nh):
-        gx_out[i, :] += 2.0 * (X_ref[0, i, :] - Xr_ref[0, i, :]) * dx[i]
+        gx_out[i, :] += 2.0 * (xs[i] - Xr_ref[0, i, :]) * dx[i]
     for a in range(m):
-        gr_out[a, :] += 2.0 * (U_ref[0, a, :] - Ur_ref[0, a, :]) * dv[a]
+        gr_out[a, :] += 2.0 * (us[a] - Ur_ref[0, a, :]) * dv[a]
 
-    dx_next = [sum(A[i][j] * dx[j] for j in range(nh)) + sum(Bm[i][a] * dv[a] for a in range(m))
-               for i in range(nh)]
+    # delta_x+ = A dx + B dv as ONE fused JVP of the augmented step — no Jacobian
+    # arrays materialized (A/B fed only these sweeps; see lane_solver._ric_kernel).
+    _, dx_next = jax.jvp(lambda xx, uu: pb.f_hat(xx, uu, bp),
+                         (xs, us), (tuple(dx), tuple(dv)))
     for i in range(nh):
         dx_scr[i, :] = dx_next[i]
 
@@ -214,38 +220,10 @@ def lane_sensitivity_grads(
     kb_rev = lambda b, k: (N - 1 - k, 0, b)
     fixed = lambda b, k: (0, b)
 
-    lin = pl.pallas_call(
-        functools.partial(_lin_kernel, pb),
-        grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, nh * nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, nh * m, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
-        ],
-        interpret=interpret,
-    )
-    A, Bm, _lx, _lu = lin(X[:-1], U, X_ref[:-1], U_ref, C)
-
     sbwd = pl.pallas_call(
         functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol)),
         grid=(nb, N),
         in_specs=[
-            pl.BlockSpec((1, nh * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh * m, Bt), kb_rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
             pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
             pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
@@ -268,20 +246,19 @@ def lane_sensitivity_grads(
         ],
         interpret=interpret,
     )
-    K, kff = sbwd(A, Bm, U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
+    K, kff = sbwd(U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
 
     sfwd = pl.pallas_call(
         functools.partial(_sfwd_kernel, pb, N),
         grid=(nb, N),
         in_specs=[
-            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
             pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
             pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
             pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
+            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
         ],
@@ -296,5 +273,5 @@ def lane_sensitivity_grads(
         scratch_shapes=[pltpu.VMEM((nh, Bt), dtype)],
         interpret=interpret,
     )
-    gx, gr = sfwd(A, Bm, K, kff, X[:-1], X_ref[:-1], U, U_ref, X[-1], X_ref[-1])
+    gx, gr = sfwd(K, kff, X[:-1], X_ref[:-1], U, U_ref, C, X[-1], X_ref[-1])
     return gx[..., :B], gr[..., :B]

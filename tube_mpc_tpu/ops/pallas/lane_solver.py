@@ -5,12 +5,13 @@ Motivation (measured, see BASELINE.md): the feature-last vmapped solver stores e
 solves/s. Here every state/control COMPONENT is a dense [B]-lane row and the three hot
 phases are fused Pallas kernels (SURVEY.md §2a items 1–4 in one design):
 
-  K_lin  — per-k linearization: augmented dynamics Jacobians via basis-tangent JVPs of
-           the component step (ops/lanes.py), plus exact diagonal-quadratic cost
-           gradients. Horizon-parallel grid.
-  K_ric  — the Riccati backward recursion: grid-sequential k with the value function
-           carried in VMEM scratch; closed-form nu∈{1,2} solves; diagonal cost
-           Hessians come in as broadcast const rows (zero l_ux for tube costs).
+  K_ric  — the Riccati backward recursion with FUSED per-k linearization: augmented
+           dynamics Jacobians via basis-tangent JVPs of the component step
+           (ops/lanes.py) and exact diagonal-quadratic cost gradients computed
+           in-kernel (A/B fed only this sweep; materializing them cost ~200 MB of
+           HBM round-trip per iteration at B=16k plus a third kernel launch).
+           Grid-sequential k, value function carried in VMEM scratch; closed-form
+           nu∈{1,2} solves; diagonal cost Hessians as broadcast const rows.
   K_fwd  — the line search: ALL alpha candidates advance together in one sequential
            forward pass, per-candidate states in scratch, candidate costs accumulated
            directly in a revisited output block. Terminal cost added at the last step.
@@ -68,32 +69,6 @@ def _bp_from_C(pb: LaneProblem, C_ref):
 
 
 # ---------------------------------------------------------------------------
-# K_lin — horizon-parallel linearization.
-# ---------------------------------------------------------------------------
-
-def _lin_kernel(pb: LaneProblem,
-                X_ref, U_ref, Xr_ref, Ur_ref, C_ref,
-                A_out, B_out, lx_out, lu_out):
-    nh, m = pb.n_hat, pb.m
-    xs = tuple(X_ref[0, i, :] for i in range(nh))
-    us = tuple(U_ref[0, a, :] for a in range(m))
-    bp = _bp_from_C(pb, C_ref)
-
-    A, B = jac_rows(lambda xx, uu: pb.f_hat(xx, uu, bp), xs, us)
-    for i in range(nh):
-        for j in range(nh):
-            A_out[0, i * nh + j, :] = A[i][j]
-        for a in range(m):
-            B_out[0, i * m + a, :] = B[i][a]
-
-    # l_x = 2Q ⊙ (x - ref) (barrier row ref = 0) ; l_u = 2R ⊙ (u - uref)
-    for i in range(nh):
-        lx_out[0, i, :] = C_ref[i, :] * (xs[i] - Xr_ref[0, i, :])
-    for a in range(m):
-        lu_out[0, a, :] = C_ref[nh + a, :] * (us[a] - Ur_ref[0, a, :])
-
-
-# ---------------------------------------------------------------------------
 # K_ric — backward Riccati with diagonal cost Hessians (l_ux = 0).
 # ---------------------------------------------------------------------------
 
@@ -101,7 +76,7 @@ _V_SCALE_THRESH = 1e8  # renormalize the V carry beyond this (f32 range guard)
 
 
 def _ric_kernel(pb: LaneProblem, reg: float,
-                A_ref, B_ref, lx_ref, lu_ref, C_ref, phix_ref,
+                X_ref, U_ref, Xr_ref, Ur_ref, C_ref, phix_ref,
                 K_out, kff_out, Vx, Vxx, LogS):
     nh, m = pb.n_hat, pb.m
     kidx = pl.program_id(1)
@@ -121,10 +96,15 @@ def _ric_kernel(pb: LaneProblem, reg: float,
     # x*1.0/x/1.0 are IEEE identities), preserving bitwise equivalence there.
     inv_s = jnp.exp(-LogS[0, :])
 
-    A = [[A_ref[0, i * nh + j, :] for j in range(nh)] for i in range(nh)]
-    Bm = [[B_ref[0, i * m + a, :] for a in range(m)] for i in range(nh)]
-    lx = [lx_ref[0, i, :] for i in range(nh)]
-    lu = [lu_ref[0, a, :] for a in range(m)]
+    # Fused linearization: Jacobians + cost gradients computed in-kernel (the A/B
+    # arrays fed ONLY this sweep; materializing them cost ~200 MB of HBM round-trip
+    # per iLQR iteration at B=16k and a third kernel launch).
+    xs = tuple(X_ref[0, i, :] for i in range(nh))
+    us = tuple(U_ref[0, a, :] for a in range(m))
+    bp = _bp_from_C(pb, C_ref)
+    A, Bm = jac_rows(lambda xx, uu: pb.f_hat(xx, uu, bp), xs, us)
+    lx = [C_ref[i, :] * (xs[i] - Xr_ref[0, i, :]) for i in range(nh)]
+    lu = [C_ref[nh + a, :] * (us[a] - Ur_ref[0, a, :]) for a in range(m)]
     vx = [Vx[i, :] for i in range(nh)]
     vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
 
@@ -321,39 +301,14 @@ def lane_ilqr_solve(
     kb_rev = lambda b, k: (N - 1 - k, 0, b)  # backward per-k blocks
     fixed = lambda b, k: (0, b)
 
-    lin = pl.pallas_call(
-        functools.partial(_lin_kernel, pb),
-        grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh * m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, nh * nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, nh * m, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
-        ],
-        interpret=interpret,
-    )
-
     ric = pl.pallas_call(
         functools.partial(_ric_kernel, pb, float(reg)),
         grid=(nb, N),
         in_specs=[
-            pl.BlockSpec((1, nh * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh * m, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U_ref
             pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # phi_x rows
         ],
@@ -406,9 +361,8 @@ def lane_ilqr_solve(
 
     def body(carry):
         it, X, U, prev_cost, done = carry
-        A, Bm, lx, lu = lin(X[:-1], U, X_ref[:-1], U_ref, C)
         phix = term_rows * (X[-1] - X_ref[-1])
-        K, kff = ric(A, Bm, lx, lu, C, phix)
+        K, kff = ric(X[:-1], U, X_ref[:-1], U_ref, C, phix)
         Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
 
         # NaN candidates never win (reference `<` semantics, ddp.py:293-296)
