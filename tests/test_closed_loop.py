@@ -6,6 +6,8 @@ impossible across frameworks, SURVEY.md §7 hard-part (d)), then replays the sam
 disturbances through our jitted scan driver and compares control sequences, states,
 losses and adapted parameters.
 """
+import dataclasses
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -104,6 +106,7 @@ def _recover_disturbances(x_real, u_real, dt=0.01):
     return np.concatenate([w, np.zeros((1, 3))], axis=0)
 
 
+@pytest.mark.slow
 class TestClosedLoopAgreement:
     def test_paper_path_matches_reference(self, reference_run):
         ref = reference_run
@@ -193,7 +196,7 @@ GEN_ALPHAS = (1.0, 0.5, 0.25, 0.1)  # reference ILQRConfig default ladder (ddp.p
                                     # the generic path never reads the YAML alphas
 
 
-def _ref_generic_cfg(steps: int):
+def _ref_generic_cfg(steps: int, adapt_nominal: bool = False):
     cfg = _ref_cfg()
     cfg["paper_dubins_mode"] = False
     cfg["system"]["horizon_N"] = GN
@@ -201,13 +204,13 @@ def _ref_generic_cfg(steps: int):
     cfg["dbas"]["eps"] = GEN_EPS
     cfg["adaptation"] = {
         "lr_eta": 5e-2, "steps": steps, "momentum": 0.9,
-        "adapt_nominal": False, "adapt_ancillary": True,
+        "adapt_nominal": adapt_nominal, "adapt_ancillary": True,
         "project_params": True,
     }
     return cfg
 
 
-def _run_ref_generic(steps: int, tmp_path) -> dict:
+def _run_ref_generic(steps: int, tmp_path, adapt_nominal: bool = False) -> dict:
     from reference_harness import import_reference
 
     import_reference()
@@ -216,8 +219,9 @@ def _run_ref_generic(steps: int, tmp_path) -> dict:
 
     torch.manual_seed(0)
     np.random.seed(0)
-    run_dir = str(tmp_path / f"refgen{steps}")
-    run_closed_loop_experiment(_ref_generic_cfg(steps), device=torch.device("cpu"), run_dir=run_dir)
+    run_dir = str(tmp_path / f"refgen{steps}{'c' if adapt_nominal else ''}")
+    run_closed_loop_experiment(_ref_generic_cfg(steps, adapt_nominal),
+                               device=torch.device("cpu"), run_dir=run_dir)
     return {
         name: np.load(f"{run_dir}/{name}.npy")
         for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss",
@@ -225,46 +229,57 @@ def _run_ref_generic(steps: int, tmp_path) -> dict:
     }
 
 
+def _generic_setup(steps: int, adapt_nominal: bool = False):
+    """Build our system/cfg/raw-inits mirroring _ref_generic_cfg exactly."""
+    field = CircleField(
+        centers=jnp.asarray([list(c) for c in OBS], dtype=F64),
+        radii=jnp.ones((len(OBS),), dtype=F64),
+    )
+    system = make_dubins(DubinsConfig(dt=0.01), obstacles=field,
+                         aggregation="smoothmin", beta=BETA, dtype=F64)
+    from tube_mpc_tpu.ops.dbas import make_augmented as _mk
+    aug = _mk(system, barrier_type="inverse", eps=GEN_EPS)
+    cfg = TubeMPCConfig(
+        N=GN, H=GH,
+        nominal_max_iter=10, aux_max_iter=20,
+        tol=1e-6, reg=1e-6, alphas=GEN_ALPHAS,
+        adapt=AdaptConfig(lr=5e-2, momentum=0.9, steps=steps, project=True),
+        adapt_nominal=adapt_nominal, adapt_ancillary=True,
+        coupling="reference",
+    )
+    # Reference inits raw params with the CONFIG VALUES as raws (tube_mpc.py:106-132):
+    # nominal raw = cost_nominal values; aux raw = cost_nominal Q/R/Qf + cost_auxiliary q_b.
+    raw_nom = RawNominalTheta(
+        Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
+        R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+        Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
+        qb_raw=jnp.asarray(1.0, dtype=F64),
+        alpha_raw=jnp.asarray(0.0, dtype=F64),
+        gamma_raw=jnp.asarray(0.0, dtype=F64),
+        tight_raw=jnp.asarray(0.0, dtype=F64),
+    )
+    raw_aux = RawAuxTheta(
+        Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
+        R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+        Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
+        qb_raw=jnp.asarray(1.0, dtype=F64),
+        alpha_raw=jnp.asarray(0.0, dtype=F64),
+        gamma_raw=jnp.asarray(0.0, dtype=F64),
+    )
+    return system, aug, cfg, raw_nom, raw_aux
+
+
+@pytest.mark.slow
 class TestGenericPathAgreement:
-    @pytest.mark.parametrize("steps", [1, 2])
-    def test_generic_matches_reference(self, steps, tmp_path):
-        ref = _run_ref_generic(steps, tmp_path)
+    @pytest.mark.parametrize("steps,adapt_nominal", [(1, False), (2, False), (1, True), (2, True)])
+    def test_generic_matches_reference(self, steps, adapt_nominal, tmp_path):
+        """adapt_nominal=True exercises the coupled bilevel chain: the reference's
+        hand-wired g_xref/g_uref → nominal ddp_sensitivity → ift_gradient pipeline
+        (tube_mpc.py:505-599) vs our composed custom_vjp chain."""
+        ref = _run_ref_generic(steps, tmp_path, adapt_nominal)
         w_seq = jnp.asarray(_recover_disturbances(ref["x_real"], ref["u_real"]), dtype=F64)
 
-        field = CircleField(
-            centers=jnp.asarray([list(c) for c in OBS], dtype=F64),
-            radii=jnp.ones((len(OBS),), dtype=F64),
-        )
-        system = make_dubins(DubinsConfig(dt=0.01), obstacles=field,
-                             aggregation="smoothmin", beta=BETA, dtype=F64)
-        from tube_mpc_tpu.ops.dbas import make_augmented as _mk
-        aug = _mk(system, barrier_type="inverse", eps=GEN_EPS)
-        cfg = TubeMPCConfig(
-            N=GN, H=GH,
-            nominal_max_iter=10, aux_max_iter=20,
-            tol=1e-6, reg=1e-6, alphas=GEN_ALPHAS,
-            adapt=AdaptConfig(lr=5e-2, momentum=0.9, steps=steps, project=True),
-            adapt_nominal=False, adapt_ancillary=True,
-        )
-        # Reference inits raw params with the CONFIG VALUES as raws (tube_mpc.py:106-132):
-        # nominal raw = cost_nominal values; aux raw = cost_nominal Q/R/Qf + cost_auxiliary q_b.
-        raw_nom = RawNominalTheta(
-            Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
-            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
-            Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
-            qb_raw=jnp.asarray(1.0, dtype=F64),
-            alpha_raw=jnp.asarray(0.0, dtype=F64),
-            gamma_raw=jnp.asarray(0.0, dtype=F64),
-            tight_raw=jnp.asarray(0.0, dtype=F64),
-        )
-        raw_aux = RawAuxTheta(
-            Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
-            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
-            Qf_raw=jnp.asarray([1000.0] * 3, dtype=F64),
-            qb_raw=jnp.asarray(1.0, dtype=F64),
-            alpha_raw=jnp.asarray(0.0, dtype=F64),
-            gamma_raw=jnp.asarray(0.0, dtype=F64),
-        )
+        system, aug, cfg, raw_nom, raw_aux = _generic_setup(steps, adapt_nominal)
         log, _ = jax.jit(
             lambda w: run_generic_closed_loop(
                 system, aug, cfg,
@@ -279,7 +294,58 @@ class TestGenericPathAgreement:
         agreement = 1.0 - np.linalg.norm(u_ours - u_ref) / np.linalg.norm(u_ref)
         assert agreement >= 0.999, f"steps={steps}: agreement={agreement}"
         np.testing.assert_allclose(np.asarray(log.x_real), ref["x_real"], rtol=1e-6, atol=1e-8)
+        # the coupled path moves θ̄, so the nominal trajectory is part of the oracle
+        np.testing.assert_allclose(np.asarray(log.x_bar), ref["x_bar"], rtol=1e-6, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(log.u_bar), ref["u_bar"], rtol=1e-6, atol=1e-8)
         np.testing.assert_allclose(np.asarray(log.loss), ref["loss"], rtol=1e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(log.Q_hist), ref["Qa_history"], rtol=1e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(log.R_hist), ref["Ra_history"], rtol=1e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(log.qb_hist), ref["qba_history"], rtol=1e-5, atol=1e-8)
+
+
+class TestFullCouplingGradient:
+    def test_full_coupling_gradient_matches_fd(self):
+        """coupling="full" (exact bilevel gradient incl. the explicit ∂L/∂x̄ term —
+        a capability the reference lacks): check the one-step coupled θ̄ gradient
+        against central finite differences of the step loss.
+
+        With H=1 and momentum's first update v=g, the post-update raw is
+        raw - lr·g, so g is recovered from the final params; FD evaluates loss[0]
+        (computed from the INIT params) at perturbed inits with lr=0.
+        """
+        system, aug, cfg, raw_nom, raw_aux = _generic_setup(steps=1, adapt_nominal=True)
+        cfg = TubeMPCConfig(
+            N=6, H=1, nominal_max_iter=8, aux_max_iter=8,
+            tol=1e-10, reg=1e-6, alphas=GEN_ALPHAS,
+            adapt=AdaptConfig(lr=1e-3, momentum=0.9, steps=1, project=False),
+            adapt_nominal=True, adapt_ancillary=True, coupling="full",
+        )
+        x0 = jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F64)
+        target = jnp.asarray([10.0, 10.0, np.pi / 4], dtype=F64)
+        w_seq = jnp.zeros((1, 3), dtype=F64)
+
+        def run(raw_n, lr):
+            c = dataclasses.replace(
+                cfg, adapt=AdaptConfig(lr=lr, momentum=0.9, steps=1, project=False))
+            log, (raw_nom_f, _) = run_generic_closed_loop(
+                system, aug, c,
+                raw_nom_init=raw_n, raw_aux_init=raw_aux,
+                x0=x0, target=target, w_seq=w_seq,
+            )
+            return log.loss[0], raw_nom_f
+
+        run_j = jax.jit(run, static_argnums=1)
+
+        lr = 1e-3
+        _, raw_f = run_j(raw_nom, lr)
+        g_q0 = float((raw_nom.Q_raw[0] - raw_f.Q_raw[0]) / lr)
+
+        eps = 1e-5
+        up = raw_nom._replace(Q_raw=raw_nom.Q_raw.at[0].add(eps))
+        dn = raw_nom._replace(Q_raw=raw_nom.Q_raw.at[0].add(-eps))
+        L_p, _ = run_j(up, 0.0)
+        L_m, _ = run_j(dn, 0.0)
+        fd = float((L_p - L_m) / (2 * eps))
+
+        assert np.isfinite(g_q0) and np.isfinite(fd)
+        assert abs(g_q0 - fd) <= 2e-3 * max(abs(fd), 1.0), f"analytic={g_q0}, fd={fd}"

@@ -354,3 +354,59 @@ class TestClosedFormWeightGrads:
         np.testing.assert_allclose(gQ, gQ_cf, rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(gR, gR_cf, rtol=1e-9, atol=1e-12)
         np.testing.assert_allclose(gqb, gqb_cf, rtol=1e-9, atol=1e-12)
+
+
+class TestExactHessianSensitivity:
+    """exact_hessians=True must reproduce the EXACT solution-map derivative.
+
+    The reference's recursion (core/ddp.py:360-410) is Gauss-Newton: it drops the
+    λᵀ∇²f Lagrangian curvature, which biases its sensitivities ~2-3x on the
+    barrier-augmented Dubins problem (exact only for linear dynamics — case 1 above).
+    Oracle here: a dense reduced-KKT solve. On dubins.yaml shrunk to N=6 the v-dim
+    saturates at v_max for every k, so the reduced problem is single-shooting in the
+    free ω dims: dω*/dθ = -H⁻¹ ∂²J/∂ω∂θ with H the TRUE (jax.hessian) reduced
+    Hessian through the rollout.
+    """
+
+    def test_exact_mode_matches_dense_kkt_oracle(self):
+        from tube_mpc_tpu.presets import dubins_paper_setup
+        from tube_mpc_tpu.solvers.ocp import rollout, total_cost
+        from tube_mpc_tpu.tube.problem import NominalTheta, make_nominal_ocp
+
+        N = 6
+        s = dubins_paper_setup(N=N, H=1, dtype=F64)
+        cfg = ILQRConfig(max_iter=120, tol=0.0, reg=1e-6,
+                         alphas=s.cfg.nominal_ilqr().alphas)
+        ocp = make_nominal_ocp(s.system, s.aug, s.target)
+        x0 = jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F64)
+        b0 = s.aug.init_b0(x0, s.bp)
+        x_hat0 = jnp.concatenate([x0, b0[None]])
+        U0 = jnp.zeros((N, 2), dtype=F64)
+        q = jnp.asarray(1.0, dtype=F64)
+        v_max = float(s.system.u_max[0])
+
+        def th_of(q0):
+            return NominalTheta(w=s.w_nominal._replace(Q=s.w_nominal.Q.at[0].set(q0)),
+                                bp=s.bp)
+
+        solve = make_diff_ilqr(ocp, cfg, exact_hessians=True)
+        X_star, U_star = jax.jit(lambda: solve(th_of(q), x_hat0, U0))()
+        # precondition for the single-shooting oracle: v strictly active everywhere
+        assert np.allclose(np.asarray(U_star[:, 0]), v_max), "v must saturate"
+
+        def J(omega, q0):
+            U = jnp.stack([jnp.full((N,), v_max, dtype=F64), omega], axis=-1)
+            X = rollout(ocp, th_of(q0), x_hat0, U)
+            return total_cost(ocp, th_of(q0), X, U)
+
+        om = U_star[:, 1]
+        g_norm = float(jnp.linalg.norm(jax.jit(jax.grad(J))(om, q)))
+        assert g_norm < 1e-10, f"solver did not converge: ||g||={g_norm}"
+        H = jax.jit(jax.hessian(J, argnums=0))(om, q)
+        cross = jax.jit(jax.jacobian(jax.grad(J, argnums=0), argnums=1))(om, q)
+        dom_exact = -jnp.linalg.solve(H, cross)
+
+        for k in range(N):
+            g = jax.jit(jax.grad(lambda q0, kk=k: solve(th_of(q0), x_hat0, U0)[1][kk, 1]))(q)
+            np.testing.assert_allclose(float(g), float(dom_exact[k]), rtol=1e-6,
+                                       atol=1e-12, err_msg=f"k={k}")

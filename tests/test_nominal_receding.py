@@ -23,6 +23,7 @@ def ref():
     return import_reference()
 
 
+@pytest.mark.slow
 def test_receding_matches_reference(ref, tmp_path):
     """Run the reference run_nominal_receding at small size and compare the full
     state/control sequences and stopping behavior."""

@@ -42,6 +42,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--horizon", type=int, default=50)
     ap.add_argument("--out", type=str, default="TEACHER_FORCED.json")
+    ap.add_argument("--dump-divergent", type=str, default=None,
+                    help="directory: save the full pre-step teacher state at every "
+                         "step with u_err > 1e-6 (for single-step replay debugging)")
     args = ap.parse_args()
     H, N = args.steps, args.horizon
 
@@ -255,6 +258,21 @@ def main() -> None:
             return float(np.max(np.abs(np.asarray(a) - np.asarray(b_.detach()))))
 
         errs["u"].append(e(u_j, u))
+        if args.dump_divergent and errs["u"][-1] > 1e-6:
+            os.makedirs(args.dump_divergent, exist_ok=True)
+            np.savez(
+                os.path.join(args.dump_divergent, f"step_{t:04d}.npz"),
+                t=t,
+                x=x.detach().numpy(), b=b.detach().numpy(),
+                x_bar=x_bar.detach().numpy(), b_bar=b_bar.detach().numpy(),
+                V_nom_ws=V_nom_ws.numpy(), V_aux_ws=V_aux_ws.numpy(),
+                Qa=Qa.detach().numpy(), Ra=Ra.detach().numpy(),
+                qba=qba.detach().numpy(),
+                vQ=vQ_pre.numpy(), vR=vR_pre.numpy(), vqb=vqb_pre.numpy(),
+                w=w.detach().numpy(),
+                u_ref=u.detach().numpy(), u_ours=np.asarray(u_j),
+                U_nom_ref=V_nom.detach().numpy(), U_aux_ref=V_aux.detach().numpy(),
+            )
         errs["u_bar"].append(e(ubar_j, u_bar0))
         errs["L"].append(e(L_j, L))
         errs["Qa"].append(e(Q_j, Qa_new))
@@ -283,6 +301,7 @@ def main() -> None:
         **{f"max_{k}_err": float(np.max(v)) for k, v in errs.items()},
         **{f"median_{k}_err": float(np.median(v)) for k, v in errs.items()},
         "steps_with_u_err_gt_1e-6": int(np.sum(np.asarray(errs["u"]) > 1e-6)),
+        "divergent_steps": [int(i) for i in np.nonzero(np.asarray(errs["u"]) > 1e-6)[0]],
         "wall_s": round(wall, 1),
         "target": ">= 0.99 control agreement (BASELINE.json), step-local",
     }

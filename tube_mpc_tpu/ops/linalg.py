@@ -14,18 +14,66 @@ TPU-first replacements for the reference's ``torch.linalg.solve`` calls
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
 
+def range_guard_default(dtype) -> bool:
+    """Whether intermediates must stay inside the f32 exponent range (~3.4e38).
+
+    True for every dtype narrower than float64, and for float64 on TPU, where x64 is
+    EMULATED with f32 exponent range. False only for real float64 backends (CPU/GPU),
+    which is exactly the reference-agreement oracle mode — there the solve must follow
+    ``torch.linalg.solve`` semantics (plain LU, no resolve-or-zero guard), because the
+    reference solves degenerate Q_uu and lets the line search reject garbage
+    (``/root/reference/core/ddp.py:243-244``). Static at trace time.
+    """
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _lu_solve_2x2(A: Array, B: Array) -> Array:
+    """2x2 LU solve with partial pivoting — the LAPACK ``dgesv`` operation sequence.
+
+    ``torch.linalg.solve`` on CPU f64 is LAPACK getrf/getrs; for n=2 that is: pick the
+    larger-|.|-magnitude first-column entry as pivot (strict >, first-wins ties, like
+    idamax), eliminate, back-substitute. Reproducing the same op sequence keeps the
+    f64 oracle path bit-close to the reference even at near-singular knife edges,
+    where adjugate-determinant rounding and LU rounding part ways.
+    """
+    a, b = A[..., 0, 0], A[..., 0, 1]
+    c, d = A[..., 1, 0], A[..., 1, 1]
+    swap = jnp.abs(c) > jnp.abs(a)
+    p00 = jnp.where(swap, c, a)
+    p01 = jnp.where(swap, d, b)
+    p10 = jnp.where(swap, a, c)
+    p11 = jnp.where(swap, b, d)
+    b0 = jnp.where(swap[..., None], B[..., 1, :], B[..., 0, :])
+    b1 = jnp.where(swap[..., None], B[..., 0, :], B[..., 1, :])
+    l = p10 / p00
+    u11 = p11 - l * p01
+    x1 = (b1 - l[..., None] * b0) / u11[..., None]
+    x0 = (b0 - p01[..., None] * x1) / p00[..., None]
+    return jnp.stack([x0, x1], axis=-2)
+
+
 def solve_spd(A: Array, B: Array) -> Array:
-    """Solve A X = B for (regularized) SPD A. A [..., n, n]; B [..., n] or [..., n, m]."""
+    """Solve A X = B for (regularized) SPD A. A [..., n, n]; B [..., n] or [..., n, m].
+
+    Dispatch is static: on range-limited dtypes (f32, TPU-emulated f64) the 2x2 case
+    uses the scale-invariant resolve-or-zero adjugate below; on real f64 it uses the
+    torch-faithful LU path (see ``range_guard_default``).
+    """
     n = A.shape[-1]
     vec = B.ndim == A.ndim - 1
     if vec:
         B = B[..., None]
     if n == 1:
         X = B / A[..., :1, :]
+    elif n == 2 and not range_guard_default(A.dtype):
+        X = _lu_solve_2x2(A, B)
     elif n == 2:
         a, b = A[..., 0, 0], A[..., 0, 1]
         c, d = A[..., 1, 0], A[..., 1, 1]

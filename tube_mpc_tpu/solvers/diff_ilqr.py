@@ -36,13 +36,14 @@ from .sensitivity import ddp_sensitivity
 
 
 def _implicit_bwd(ocp: OCP, sens_reg: float, active_tol: float,
-                  theta, x0, X, U, g_X, g_U):
+                  theta, x0, X, U, g_X, g_U, exact_hessians: bool = False):
     """Shared backward pass: DDP sensitivity + IFT accumulation at a KKT point (X, U).
 
     Returns (g_theta, g_x0). Used both by the solver VJP and by the fixed-trajectory
     re-gradient (the reference's inner adaptation loop, ``tube_mpc.py:407-604``)."""
     sens = ddp_sensitivity(
-        ocp, theta, X, U, g_X, g_U, reg=sens_reg, active_tol=active_tol
+        ocp, theta, X, U, g_X, g_U, reg=sens_reg, active_tol=active_tol,
+        exact_hessians=exact_hessians,
     )
     # ∇_θ L: one jax.grad of the IFT accumulation over the theta pytree.
     g_theta = jax.grad(
@@ -54,11 +55,15 @@ def _implicit_bwd(ocp: OCP, sens_reg: float, active_tol: float,
 
 
 def make_diff_ilqr(ocp: OCP, cfg: ILQRConfig, *, sens_reg: float = 1e-9,
-                   active_tol: float = 1e-8):
+                   active_tol: float = 1e-8, exact_hessians: bool = False):
     """Return solve(theta, x0, U_init) -> (X, U), differentiable w.r.t. theta and x0.
 
     U_init is treated as a warm start only (zero cotangent), matching the implicit-
     function view: the solution is a function of (theta, x0), not of the initial guess.
+
+    exact_hessians=True uses the true Lagrangian curvature in the backward pass
+    (exact solution-map derivatives); False keeps the reference's Gauss-Newton
+    semantics — see ddp_sensitivity.
     """
 
     @jax.custom_vjp
@@ -73,14 +78,15 @@ def make_diff_ilqr(ocp: OCP, cfg: ILQRConfig, *, sens_reg: float = 1e-9,
         theta, x0, X, U, U_init = res
         g_X, g_U = cotangents
         g_theta, g_x0 = _implicit_bwd(ocp, sens_reg, active_tol,
-                                      theta, x0, X, U, g_X, g_U)
+                                      theta, x0, X, U, g_X, g_U, exact_hessians)
         return g_theta, g_x0, jnp.zeros_like(U_init)
 
     solve.defvjp(solve_fwd, solve_bwd)
     return solve
 
 
-def make_ift_regrad(ocp: OCP, *, sens_reg: float = 1e-9, active_tol: float = 1e-8):
+def make_ift_regrad(ocp: OCP, *, sens_reg: float = 1e-9, active_tol: float = 1e-8,
+                    exact_hessians: bool = False):
     """Gradient-at-a-fixed-solution: regrad(theta, x0, X, U) -> (X, U) (identity
     forward) whose VJP runs the DDP-sensitivity + IFT backward at the GIVEN (X, U)
     using the GIVEN theta's Hessians.
@@ -105,7 +111,7 @@ def make_ift_regrad(ocp: OCP, *, sens_reg: float = 1e-9, active_tol: float = 1e-
         theta, x0, X, U = res
         g_X, g_U = cotangents
         g_theta, g_x0 = _implicit_bwd(ocp, sens_reg, active_tol,
-                                      theta, x0, X, U, g_X, g_U)
+                                      theta, x0, X, U, g_X, g_U, exact_hessians)
         return g_theta, g_x0, jnp.zeros_like(X), jnp.zeros_like(U)
 
     regrad.defvjp(regrad_fwd, regrad_bwd)

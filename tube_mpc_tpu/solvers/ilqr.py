@@ -29,13 +29,16 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from ..ops.linalg import solve_spd
+from ..ops.linalg import range_guard_default, solve_spd
 from .ocp import OCP, rollout, total_cost
 
 # Renormalization threshold for the scaled Riccati carry (see _backward_pass).
 # Chosen so thresh * ||A||^2 stays below the f32 exponent range (~3.4e38) that
 # TPU-emulated float64 shares, with barrier-inflated ||A|| up to ~1e12.
 _V_SCALE_THRESH = 1e12
+# Real-f64 backends (the reference-agreement oracle mode) have exponent range 1e308:
+# never rescale there, so the recursion is op-for-op the reference's unscaled one.
+_V_SCALE_THRESH_F64 = 1e250
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,7 +84,10 @@ def _backward_pass(A, B, lx, lu, lxx, luu, lux, phi_x, phi_xx, reg: float):
     """
     nu = B.shape[-1]
     eye = jnp.eye(nu, dtype=B.dtype)
-    thresh = jnp.asarray(_V_SCALE_THRESH, dtype=B.dtype)
+    thresh = jnp.asarray(
+        _V_SCALE_THRESH if range_guard_default(B.dtype) else _V_SCALE_THRESH_F64,
+        dtype=B.dtype,
+    )
 
     def step(carry, inp):
         V_x, V_xx, log_s = carry

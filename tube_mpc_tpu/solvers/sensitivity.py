@@ -37,29 +37,63 @@ def ddp_sensitivity(
     *,
     reg: float = 1e-9,
     active_tol: float = 1e-8,
+    exact_hessians: bool = False,
 ) -> SensitivityResult:
     """Compute δz = (δX, δU, δλ) for upper-loss gradients (g_X [N+1,nx], g_U [N,nu]).
 
     g_X[k] = ∂L_upper/∂x_k, g_U[k] = ∂L_upper/∂u_k — i.e. exactly the cotangents a
     custom_vjp backward receives, which is how this doubles as the reference's
     ``upper_grad_x/u/xN`` callback interface (``ddp.py:326-328``).
+
+    exact_hessians: the reference's recursion (``ddp.py:360-410``) is GAUSS-NEWTON —
+    its KKT Hessian blocks use cost Hessians with first-order dynamics only,
+    dropping the λᵀ∇²f curvature of the Lagrangian. That makes its "IFT gradients"
+    systematically biased on nonlinear dynamics (measured here: ~2-3x off the exact
+    reduced-KKT sensitivity on dubins-with-barrier; exact only for linear systems).
+    With exact_hessians=True the adjoint multipliers λ of the solved OCP are
+    computed (λ_N = φ_x, λ_k = ℓ_x + A_kᵀλ_{k+1}) and the per-step Hessian blocks
+    become ∂²[ℓ_k + λ_{k+1}ᵀ f]/∂(x,u)² — the true Lagrangian curvature — making
+    δz the EXACT solution-map derivative (validated against a dense reduced-KKT
+    factorization in tests/test_gradients.py). Default False = reference semantics.
     """
     with jax.default_matmul_precision("highest"):  # see ilqr.py precision note
         return _ddp_sensitivity_impl(
-            ocp, theta, X, U, g_X, g_U, reg=reg, active_tol=active_tol
+            ocp, theta, X, U, g_X, g_U, reg=reg, active_tol=active_tol,
+            exact_hessians=exact_hessians,
         )
 
 
-def _ddp_sensitivity_impl(ocp, theta, X, U, g_X, g_U, *, reg, active_tol):
+def _ddp_sensitivity_impl(ocp, theta, X, U, g_X, g_U, *, reg, active_tol,
+                          exact_hessians=False):
     N, nu = U.shape
+    nxh = X.shape[-1]
     ks = jnp.arange(N)
     f_jac = ocp.jac_fn()
     sd = ocp.stage_derivs_fn()
 
     A, B = jax.vmap(lambda x, u: f_jac(x, u, theta))(X[:-1], U)
-    _, _, lxx, luu, lux = jax.vmap(lambda x, u, k: sd(x, u, k, theta))(X[:-1], U, ks)
-    _, phi_xx = ocp.terminal_derivs_fn()(X[-1], theta)
+    lx, _, lxx, luu, lux = jax.vmap(lambda x, u, k: sd(x, u, k, theta))(X[:-1], U, ks)
+    phi_x, phi_xx = ocp.terminal_derivs_fn()(X[-1], theta)
     active = ocp.active_mask(U, tol=active_tol)  # [N, nu] bool
+
+    if exact_hessians:
+        # Adjoint multipliers of the SOLVED OCP: λ_N = φ_x, λ_k = ℓ_x + A_kᵀ λ_{k+1}.
+        def adj(lam_next, inp):
+            A_k, lx_k = inp
+            lam_k = lx_k + A_k.T @ lam_next
+            return lam_k, lam_next
+        _, lam_next_seq = jax.lax.scan(adj, phi_x, (A, lx), reverse=True)  # λ_{k+1} per k
+
+        def lag_hess(x, u, lam_next):
+            def g(xu):
+                return jnp.dot(lam_next, ocp.f(xu[:nxh], xu[nxh:], theta))
+            Hf = jax.hessian(g)(jnp.concatenate([x, u]))
+            return Hf[:nxh, :nxh], Hf[nxh:, nxh:], Hf[nxh:, :nxh]
+
+        Hxx, Huu, Hux = jax.vmap(lag_hess)(X[:-1], U, lam_next_seq)
+        lxx = lxx + Hxx
+        luu = luu + Huu
+        lux = lux + Hux
 
     eye = jnp.eye(nu, dtype=U.dtype)
 

@@ -241,6 +241,97 @@ def run_paper_closed_loop(
     return ClosedLoopLog(*logs)
 
 
+def make_paper_closed_loop_diff(
+    system: System,
+    aug: AugmentedDynamics,
+    cfg: TubeMPCConfig,
+    *,
+    bp: BarrierParams,
+    target: Array,
+    exact_hessians: bool = True,
+):
+    """Build a paper closed loop that is reverse-differentiable END-TO-END.
+
+    Returns ``loop(w_nominal, aux_init, x0, w_seq) -> ClosedLoopLog``, safe to wrap
+    in ``jax.jit``/``jax.grad`` w.r.t. (w_nominal, x0).
+
+    The reference has no equivalent: its gradient machinery differentiates one step's
+    upper loss w.r.t. the ancillary weights only (``tube_mpc.py:963-976``); the effect
+    of the FIXED nominal weights on the whole H-step closed loop is only observable
+    there by finite differences (``gradient_check.py``). Here both MPC solves carry
+    implicit-function VJPs (solvers/diff_ilqr.py) and the Algorithm-2 adaptation
+    gradient is computed by the EXPLICIT closed-form pipeline
+    (ddp_sensitivity + solvers/weight_grads.py, parity-tested vs the custom_vjp in
+    tests/test_gradients.py) rather than an inner jax.grad — so one outer
+    ``jax.grad(lambda w: loop(w, ...).loss[-1])`` traverses the entire loop: solves,
+    sensitivity sweeps, momentum updates, warm-start shifts.
+
+    Forward-numerically identical to run_paper_closed_loop (same solves, same
+    updates); use that one when no hypergradient is needed.
+
+    This is a FACTORY (not a run_* function taking everything at once) because the
+    ``jax.custom_vjp`` solver objects must be created OUTSIDE any active trace:
+    constructing them inside a jit(grad(...)) trace leaks tracers into the scan
+    residual jaxprs ("No constant handler for DynamicJaxprTracer" at lowering).
+    """
+    nx = system.nx
+    ocp_nom = make_nominal_ocp(system, aug, target)
+    ocp_aux = make_aux_ocp(system, aug)
+    # exact_hessians applies to the OUTER hypergradient solves only; the Algorithm-2
+    # adaptation gradient below stays on the reference's Gauss-Newton pipeline so the
+    # forward loop is numerically identical to run_paper_closed_loop.
+    solve_nom = make_diff_ilqr(ocp_nom, cfg.nominal_ilqr(), exact_hessians=exact_hessians)
+    solve_aux = make_diff_ilqr(ocp_aux, cfg.aux_ilqr(), exact_hessians=exact_hessians)
+    from ..solvers.sensitivity import ddp_sensitivity
+    from ..solvers.weight_grads import grads_aux_from_deltas
+
+    def step(w_nominal: CostWeights, state: PaperLoopState, w_t):
+        theta_nom = NominalTheta(w=w_nominal, bp=bp)
+        x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[None]])
+        X_nom, U_nom = solve_nom(theta_nom, x_hat_bar, state.U_nom_ws)
+        X_ref, U_ref = X_nom[:, :nx], U_nom
+
+        x_hat = jnp.concatenate([state.x, state.b[None]])
+        w_aux = CostWeights(Q=state.adapt.Q, R=state.adapt.R, Qf=state.adapt.Q,
+                            qb=state.adapt.qb)
+        th_aux = AuxTheta(w=w_aux, bp=bp, X_ref=X_ref, U_ref=U_ref)
+        X_aux, U_aux = solve_aux(th_aux, x_hat, state.U_aux_ws)
+        L = _upper_loss(X_aux, X_ref, nx)
+
+        # Closed-form Algorithm-2 gradient: dL/dX_aux rows are [2(x-x̄), 2b].
+        g_X = jnp.concatenate(
+            [2.0 * (X_aux[:, :nx] - X_ref), 2.0 * X_aux[:, nx:]], axis=-1
+        )
+        g_U = jnp.zeros_like(U_aux)
+        sens = ddp_sensitivity(ocp_aux, th_aux, X_aux, U_aux, g_X, g_U)
+        grads = grads_aux_from_deltas(X_aux, U_aux, X_ref, U_ref, sens)
+        adapt, vel = momentum_update(state.adapt, grads, state.vel, cfg.adapt,
+                                     project_aux_adapt)
+
+        u = U_aux[0]
+        x_hat_next = aug.f_hat(x_hat, u, bp)
+        x_next = x_hat_next[:nx] + w_t
+        b_next = x_hat_next[nx]
+        u_bar = U_nom[0]
+        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp)
+
+        new_state = PaperLoopState(
+            x=x_next, b=b_next,
+            x_bar=x_hat_bar_next[:nx], b_bar=x_hat_bar_next[nx],
+            U_nom_ws=_shift(U_nom), U_aux_ws=_shift(U_aux),
+            adapt=adapt, vel=vel,
+        )
+        log = (state.x, u, state.x_bar, u_bar, state.b, L, adapt.Q, adapt.R, adapt.qb)
+        return new_state, log
+
+    def loop(w_nominal: CostWeights, aux_init: AuxAdapt, x0: Array, w_seq: Array) -> ClosedLoopLog:
+        init = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
+        _, logs = jax.lax.scan(lambda s, w: step(w_nominal, s, w), init, w_seq)
+        return ClosedLoopLog(*logs)
+
+    return loop
+
+
 # ---------------------------------------------------------------------------
 # Generic path: raw-reparameterized θ̄ and θ, optional coupled nominal adaptation.
 # ---------------------------------------------------------------------------

@@ -30,6 +30,9 @@ class SystemConfig:
     nominal_max_iter: int = 10
     aux_max_iter: int = 20
     ilqr_reg: float = 1e-6
+    # The reference hard-codes solver tol=1e-3 in both paths (tube_mpc.py:756-768,
+    # 163-165); this knob keeps that default but lets gradient_check tighten it.
+    ilqr_tol: float = 1e-3
     line_search_alphas: Tuple[float, ...] = (1.0, 0.5, 0.25, 0.1)
     control_bounds: Dict[str, Any] = dataclasses.field(default_factory=dict)
     disturbance: Dict[str, Any] = dataclasses.field(default_factory=dict)
@@ -202,7 +205,7 @@ def build_experiment(cfg: ExperimentConfig, *, paper_mode: Optional[bool] = None
         H=sc.task_horizon_H,
         nominal_max_iter=sc.nominal_max_iter,
         aux_max_iter=sc.aux_max_iter,
-        tol=1e-3,
+        tol=sc.ilqr_tol,
         reg=reg,
         alphas=tuple(sc.line_search_alphas),
         adapt=AdaptConfig(
