@@ -11,7 +11,10 @@ the reference: tube_mpc.py:803-996). vs_baseline is against the PyTorch referenc
 this machine's CPU: 0.956 solves/s (tools/measure_reference.py; BASELINE.md).
 
 Prints ONE JSON line. Env knobs: BENCH_B (batch), BENCH_H (steps), BENCH_PATH=xla for
-the non-Pallas path.
+the non-Pallas path, BENCH_MODE=generic for the generic engine (raw-reparameterized
+θ incl. adaptive barrier α/γ; tube/lane_closed_loop.run_generic_closed_loop_lanes).
+The JSON includes finite_lane_frac — the fraction of lanes whose f32 closed loop
+stayed numerically healthy to the end (see BASELINE.md on long-horizon f32).
 """
 import json
 import os
@@ -28,11 +31,15 @@ def main() -> None:
     from tube_mpc_tpu.ops.lanes import dubins_components
     from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
     from tube_mpc_tpu.tube.closed_loop import run_paper_closed_loop
-    from tube_mpc_tpu.tube.lane_closed_loop import run_paper_closed_loop_lanes
+    from tube_mpc_tpu.tube.lane_closed_loop import (
+        run_generic_closed_loop_lanes,
+        run_paper_closed_loop_lanes,
+    )
 
     B = int(os.environ.get("BENCH_B", 16384))
     H = int(os.environ.get("BENCH_H", 16))
     path = os.environ.get("BENCH_PATH", "lanes")
+    mode = os.environ.get("BENCH_MODE", "paper")
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
 
     if path == "lanes":
@@ -42,13 +49,39 @@ def main() -> None:
             aggregation="smoothmin", beta=20.0,
         )
 
-        def run(w_seqs):
-            log = run_paper_closed_loop_lanes(
-                s.system, s.aug, sys_c, s.cfg,
-                w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
-                x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
-            )
-            return log.u_real, log.loss
+        if mode == "generic":
+            from tube_mpc_tpu.tube.params import RawAuxTheta, RawNominalTheta
+            import dataclasses as _dc
+
+            from tube_mpc_tpu.tube.params import AdaptConfig
+            cfg = _dc.replace(s.cfg, adapt=AdaptConfig(
+                lr=5e-2, momentum=0.9, steps=1, grad_clip_norm=1.0, project=True))
+            F32 = jnp.float32
+            raw_nom = RawNominalTheta(
+                Q_raw=jnp.asarray([1.0, 1.0, 0.0], F32), R_raw=jnp.asarray([1.0, 1.0], F32),
+                Qf_raw=jnp.asarray([1000.0] * 3, F32), qb_raw=jnp.asarray(1.0, F32),
+                alpha_raw=jnp.asarray(0.0, F32), gamma_raw=jnp.asarray(0.0, F32),
+                tight_raw=jnp.asarray(0.0, F32))
+            raw_aux = RawAuxTheta(
+                Q_raw=jnp.asarray([1.0, 1.0, 0.0], F32), R_raw=jnp.asarray([1.0, 1.0], F32),
+                Qf_raw=jnp.asarray([1000.0] * 3, F32), qb_raw=jnp.asarray(1.0, F32),
+                alpha_raw=jnp.asarray(0.0, F32), gamma_raw=jnp.asarray(0.0, F32))
+
+            def run(w_seqs):
+                log, _ = run_generic_closed_loop_lanes(
+                    s.system, s.aug, sys_c, cfg,
+                    raw_nom=raw_nom, raw_aux_init=raw_aux,
+                    x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                )
+                return log.u_real, log.loss
+        else:
+            def run(w_seqs):
+                log = run_paper_closed_loop_lanes(
+                    s.system, s.aug, sys_c, s.cfg,
+                    w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+                    x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                )
+                return log.u_real, log.loss
 
         w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(0), (B, H), dtype=jnp.float32)
         fn = jax.jit(run)
@@ -75,11 +108,16 @@ def main() -> None:
 
     solves = 2 * H * B
     solves_per_sec = solves / elapsed
+    finite_frac = float(np.isfinite(np.asarray(out[1][:, -1])).mean())
+    metric = "tube_mpc_solves_per_sec_per_chip_dubins_T50"
+    if mode == "generic":
+        metric += "_generic"
     print(json.dumps({
-        "metric": "tube_mpc_solves_per_sec_per_chip_dubins_T50",
+        "metric": metric,
         "value": round(solves_per_sec, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_sec / REF_CPU_SOLVES_PER_SEC, 2),
+        "finite_lane_frac": round(finite_frac, 4),
     }))
 
 

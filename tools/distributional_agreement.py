@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Distributional closed-loop agreement vs the PyTorch reference (dubins.yaml, full size).
+
+Trajectory-level agreement through the t=25 chaos point is seed-specific (see
+docs/AGREEMENT_ANALYSIS.md), so this harness compares CLOSED-LOOP STATISTICS instead:
+the reference is run over several disturbance seeds (torch RNG), our scan driver over
+many more i.i.d. seeds (JAX RNG; the disturbance DISTRIBUTION — uniform on W — is
+identical, SURVEY.md §7 hard-part (d)), and each reference sample statistic is placed
+inside our population's quantiles.
+
+Acceptance: every reference seed's metrics lie within our [min, max] envelope, and
+the reference MEDIAN of each metric lies within our central [2.5%, 97.5%] quantiles
+(medians, not means: the loss metrics are heavy-tailed — rare barrier-excursion
+seeds reach 1e12 in both frameworks); goal-reached and collision rates match as
+proportions (within binomial noise).
+
+    python tools/distributional_agreement.py [--ref-seeds 8] [--our-seeds 64]
+        [--steps 300] [--out DISTRIBUTIONAL.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.measure_reference import import_reference  # noqa: E402
+
+GOAL = np.asarray([10.0, 10.0])
+GOAL_RADIUS = 0.25
+OBS = [(4.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 4.0), (6.0, 6.0)]
+
+
+def run_stats(x_real: np.ndarray, x_bar: np.ndarray, loss: np.ndarray) -> dict:
+    dist = np.linalg.norm(x_real[:, :2] - GOAL[None], axis=-1)
+    reached = dist <= GOAL_RADIUS
+    goal_step = int(np.argmax(reached)) if reached.any() else -1
+    h_min = np.min(
+        np.stack([
+            (x_real[:, 0] - cx) ** 2 + (x_real[:, 1] - cy) ** 2 - 1.0
+            for cx, cy in OBS
+        ]),
+    )
+    return {
+        "goal_reached": bool(reached.any()),
+        "goal_step": goal_step,
+        "collided": bool(h_min <= 0.0),
+        "min_h": float(h_min),
+        "final_dist": float(dist[-1]),
+        "final_loss": float(loss[-1]),
+        "mean_loss": float(np.mean(loss)),
+        "mean_track_err": float(np.mean(np.linalg.norm(x_real - x_bar, axis=-1))),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref-seeds", type=int, default=8)
+    ap.add_argument("--our-seeds", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--out", type=str, default="DISTRIBUTIONAL.json")
+    args = ap.parse_args()
+    H, N = args.steps, args.horizon
+
+    # ---- ours first (fast): B i.i.d. closed loops on the jitted scan driver ----
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from tube_mpc_tpu.presets import dubins_paper_setup
+    from tube_mpc_tpu.tube.closed_loop import run_paper_closed_loop
+
+    s = dubins_paper_setup(N=N, H=H, dtype=jnp.float64)
+    t0 = time.perf_counter()
+    keys = jax.random.split(jax.random.PRNGKey(1234), args.our_seeds)
+    log = jax.jit(jax.vmap(lambda k: run_paper_closed_loop(
+        s.system, s.aug, s.cfg, w_nominal=s.w_nominal, aux_init=s.aux_init,
+        bp=s.bp, x0=s.x0, target=s.target, key=k)))(keys)
+    jax.block_until_ready(log)
+    ours_wall = time.perf_counter() - t0
+    ours = [run_stats(np.asarray(log.x_real[i]), np.asarray(log.x_bar[i]),
+                      np.asarray(log.loss[i])) for i in range(args.our_seeds)]
+    print(f"[ours] {args.our_seeds} closed loops in {ours_wall:.1f}s", flush=True)
+
+    # ---- reference over seeds (slow: ~10 min/seed on this host) ----
+    import_reference()
+    import torch
+    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+
+    import yaml
+    with open("/root/reference/configs/dubins.yaml", "r", encoding="utf-8") as f:
+        cfg = yaml.safe_load(f)
+    cfg["system"]["task_horizon_H"] = H
+    cfg["system"]["horizon_N"] = N
+
+    refs = []
+    for seed in range(args.ref_seeds):
+        torch.manual_seed(seed)
+        np.random.seed(seed)
+        with tempfile.TemporaryDirectory() as d:
+            t1 = time.perf_counter()
+            run_closed_loop_experiment(cfg, device=torch.device("cpu"), run_dir=d)
+            refs.append(run_stats(
+                np.load(f"{d}/x_real.npy"), np.load(f"{d}/x_bar.npy"),
+                np.load(f"{d}/loss.npy")))
+        print(f"[ref] seed {seed} done in {time.perf_counter()-t1:.0f}s: "
+              f"{refs[-1]}", flush=True)
+
+    # ---- compare ----
+    scalar_metrics = ["final_dist", "final_loss", "mean_loss", "mean_track_err",
+                      "min_h", "goal_step"]
+    report = {
+        "ref_seeds": args.ref_seeds, "our_seeds": args.our_seeds,
+        "steps": H, "horizon": N,
+        "goal_rate": {"ref": float(np.mean([r["goal_reached"] for r in refs])),
+                      "ours": float(np.mean([o["goal_reached"] for o in ours]))},
+        "collision_rate": {"ref": float(np.mean([r["collided"] for r in refs])),
+                           "ours": float(np.mean([o["collided"] for o in ours]))},
+        "metrics": {},
+        "ours_wall_s": round(ours_wall, 1),
+    }
+    # binomial noise at ref_seeds=8 is ~0.17 std; require rates within 0.25
+    all_ok = (abs(report["goal_rate"]["ref"] - report["goal_rate"]["ours"]) <= 0.25
+              and abs(report["collision_rate"]["ref"] - report["collision_rate"]["ours"]) <= 0.25)
+    for mname in scalar_metrics:
+        rv = np.asarray([r[mname] for r in refs], dtype=np.float64)
+        ov = np.asarray([o[mname] for o in ours], dtype=np.float64)
+        lo, hi = np.quantile(ov, [0.025, 0.975])
+        in_env = bool((rv >= ov.min()).all() and (rv <= ov.max()).all())
+        med_in_ci = bool(lo <= np.median(rv) <= hi)
+        report["metrics"][mname] = {
+            "ref_mean": float(rv.mean()), "ref_median": float(np.median(rv)),
+            "ref_min": float(rv.min()), "ref_max": float(rv.max()),
+            "ours_mean": float(ov.mean()), "ours_median": float(np.median(ov)),
+            "ours_q025": float(lo), "ours_q975": float(hi),
+            "ours_min": float(ov.min()), "ours_max": float(ov.max()),
+            "ref_samples_in_our_envelope": in_env,
+            "ref_median_in_our_central95": med_in_ci,
+        }
+        all_ok = all_ok and in_env and med_in_ci
+    report["distributional_agreement"] = bool(all_ok)
+    with open(args.out, "w", encoding="utf-8") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,16 +38,22 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..dbas import BarrierParams
 from ..lanes import jac_rows
 from .lane_solver import LaneProblem, _bp_from_C, _pad_lanes
 
 _V_SCALE_THRESH = 1e8
 
 
-def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
-                 U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
-                 K_out, kff_out, Vxx, tVx, LogS):
+def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
+                 *refs):
     nh, m = pb.n_hat, pb.m
+    if generic:
+        (U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
+         K_out, kff_out, tVx_out, Vxx_out, LogS_out, Vxx, tVx, LogS) = refs
+    else:
+        (U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
+         K_out, kff_out, Vxx, tVx, LogS) = refs
     kidx = pl.program_id(1)
 
     @pl.when(kidx == 0)
@@ -58,6 +64,17 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
             for j in range(nh):
                 Vxx[i * nh + j, :] = jnp.where(i == j, C_ref[nh + m + i, :], 0.0)
         LogS[0, :] = jnp.zeros_like(LogS[0, :])
+
+    if generic:
+        # emit the CARRY-IN (the value function at k+1, in its scaled representation)
+        # at block index k: the generic forward sweep reconstructs
+        # δλ_{k+1} = exp(LogS)·(tV_x(k+1) + V_xx(k+1) δx_{k+1}) for the
+        # dynamics-parameter IFT term Σ_k δλ_{k+1}ᵀ ∂f̂/∂(α,γ).
+        for i in range(nh):
+            tVx_out[0, i, :] = tVx[i, :]
+            for j in range(nh):
+                Vxx_out[0, i * nh + j, :] = Vxx[i * nh + j, :]
+        LogS_out[0, 0, :] = LogS[0, :]
 
     inv_s = jnp.exp(-LogS[0, :])
 
@@ -135,11 +152,15 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float,
     LogS[0, :] = LogS[0, :] - jnp.log(jnp.maximum(scale_inv, jnp.finfo(scale_inv.dtype).tiny))
 
 
-def _sfwd_kernel(pb: LaneProblem, n_steps: int,
-                 K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref, C_ref,
-                 XN_ref, XrN_ref,
-                 gx_out, gr_out, dx_scr):
+def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
     nh, m = pb.n_hat, pb.m
+    if generic:
+        (K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref, C_ref, XN_ref, XrN_ref,
+         tVx_ref, Vxx_ref, LogS_ref,
+         gx_out, gr_out, gxt_out, gdyn_out, dx_scr) = refs
+    else:
+        (K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref, C_ref, XN_ref, XrN_ref,
+         gx_out, gr_out, dx_scr) = refs
     kidx = pl.program_id(1)
 
     @pl.when(kidx == 0)
@@ -148,6 +169,9 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int,
             dx_scr[i, :] = jnp.zeros_like(dx_scr[i, :])
         gx_out[:, :] = jnp.zeros_like(gx_out)
         gr_out[:, :] = jnp.zeros_like(gr_out)
+        if generic:
+            gxt_out[:, :] = jnp.zeros_like(gxt_out)
+            gdyn_out[:, :] = jnp.zeros_like(gdyn_out)
 
     K = [[K_ref[0, a * nh + i, :] for i in range(nh)] for a in range(m)]
     kf = [kff_ref[0, a, :] for a in range(m)]
@@ -170,10 +194,37 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int,
     for i in range(nh):
         dx_scr[i, :] = dx_next[i]
 
+    if generic:
+        # δλ_{k+1} from the value function emitted by the backward sweep, then the
+        # dynamics-parameter IFT terms gα += δλᵀ ∂f̂/∂α, gγ += δλᵀ ∂f̂/∂γ
+        # (reference ``ift.py:62-84``'s f_θᵀ δλ_{k+1} term; the stage cost has no
+        # α/γ dependence, so this is their whole gradient).
+        s_k1 = jnp.exp(LogS_ref[0, 0, :])
+        dlam = [
+            s_k1 * (tVx_ref[0, i, :]
+                    + sum(Vxx_ref[0, i * nh + j, :] * dx_next[j] for j in range(nh)))
+            for i in range(nh)
+        ]
+        one = jnp.ones_like(bp.alpha)
+
+        def f_of_bp(a, g):
+            return pb.f_hat(xs, us, BarrierParams(alpha=a, gamma=g, tight=bp.tight))
+
+        _, f_a = jax.jvp(lambda a: f_of_bp(a, bp.gamma), (bp.alpha,), (one,))
+        _, f_g = jax.jvp(lambda g: f_of_bp(bp.alpha, g), (bp.gamma,), (one,))
+        gdyn_out[0, :] += sum(dlam[i] * f_a[i] for i in range(nh))
+        gdyn_out[1, :] += sum(dlam[i] * f_g[i] for i in range(nh))
+
     @pl.when(kidx == n_steps - 1)
     def _terminal():
-        for i in range(nh):
-            gx_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
+        if generic:
+            # terminal split: rows 0..n-1 feed dL/dQf, row n feeds the terminal part
+            # of dL/dq_b (stage part accumulates in gx_out)
+            for i in range(nh):
+                gxt_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
+        else:
+            for i in range(nh):
+                gx_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
 
 
 def lane_sensitivity_grads(
@@ -188,12 +239,21 @@ def lane_sensitivity_grads(
     active_tol: float = 1e-8,
     block_b: int = 4096,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
+    generic: bool = False,
+):
     """Fused delta-z sweep + closed-form weight gradients, lane-major.
 
-    Returns (gx_rows [n̂, B], gr_rows [m, B]): rows 0..n-1 of gx_rows are dL/dQ,
-    row n is dL/dq_b, gr_rows is dL/dR — exactly grads_aux_from_deltas on the
-    ddp_sensitivity result (parity-tested)."""
+    generic=False (paper path): returns (gx_rows [n̂, B], gr_rows [m, B]): rows
+    0..n-1 of gx_rows are dL/dQ (incl. terminal; Qf tied), row n is dL/dq_b,
+    gr_rows is dL/dR — exactly grads_aux_from_deltas on the ddp_sensitivity result
+    (parity-tested).
+
+    generic=True (generic path, θ = (Q, R, Qf, qb, α, γ)): returns
+    (gx_rows, gr_rows, gxt_rows [n̂, B], gdyn_rows [2, B]) where gx_rows is now
+    STAGE-ONLY (rows 0..n-1 → dL/dQ, row n → stage part of dL/dq_b), gxt_rows is
+    the terminal split (rows 0..n-1 → dL/dQf, row n → terminal part of dL/dq_b),
+    and gdyn_rows = (dL/dα, dL/dγ) via the Σ_k δλ_{k+1}ᵀ ∂f̂/∂θ IFT dynamics term
+    (the backward sweep additionally emits its value-function carry per k)."""
     nh, m = pb.n_hat, pb.m
     N = U.shape[0]
     B = U.shape[-1]
@@ -220,8 +280,28 @@ def lane_sensitivity_grads(
     kb_rev = lambda b, k: (N - 1 - k, 0, b)
     fixed = lambda b, k: (0, b)
 
+    bwd_out_specs = [
+        pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
+    ]
+    bwd_out_shape = [
+        jax.ShapeDtypeStruct((N, m * nh, B_pad), dtype),
+        jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+    ]
+    if generic:
+        bwd_out_specs += [
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),       # tV_x(k+1)
+            pl.BlockSpec((1, nh * nh, Bt), kb_rev, memory_space=pltpu.VMEM),  # V_xx(k+1)
+            pl.BlockSpec((1, 1, Bt), kb_rev, memory_space=pltpu.VMEM),        # LogS(k+1)
+        ]
+        bwd_out_shape += [
+            jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, nh * nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((N, 1, B_pad), dtype),
+        ]
+
     sbwd = pl.pallas_call(
-        functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol)),
+        functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol), generic),
         grid=(nb, N),
         in_specs=[
             pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
@@ -231,14 +311,8 @@ def lane_sensitivity_grads(
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
         ],
-        out_specs=[
-            pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, m * nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
-        ],
+        out_specs=bwd_out_specs,
+        out_shape=bwd_out_shape,
         scratch_shapes=[
             pltpu.VMEM((nh * nh, Bt), dtype),
             pltpu.VMEM((nh, Bt), dtype),
@@ -246,32 +320,60 @@ def lane_sensitivity_grads(
         ],
         interpret=interpret,
     )
-    K, kff = sbwd(U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
+    bwd_out = sbwd(U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
+    if generic:
+        K, kff, tVx_seq, Vxx_seq, LogS_seq = bwd_out
+    else:
+        K, kff = bwd_out
+
+    fwd_in_specs = [
+        pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
+        pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
+        pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
+        pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
+        pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
+        pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+    ]
+    fwd_out_specs = [
+        pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, Bt), fixed, memory_space=pltpu.VMEM),
+    ]
+    fwd_out_shape = [
+        jax.ShapeDtypeStruct((nh, B_pad), dtype),
+        jax.ShapeDtypeStruct((m, B_pad), dtype),
+    ]
+    fwd_args = [K, kff, X[:-1], X_ref[:-1], U, U_ref, C, X[-1], X_ref[-1]]
+    if generic:
+        fwd_in_specs += [
+            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # tV_x(k+1)
+            pl.BlockSpec((1, nh * nh, Bt), kb, memory_space=pltpu.VMEM),  # V_xx(k+1)
+            pl.BlockSpec((1, 1, Bt), kb, memory_space=pltpu.VMEM),        # LogS(k+1)
+        ]
+        fwd_out_specs += [
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # terminal split
+            pl.BlockSpec((2, Bt), fixed, memory_space=pltpu.VMEM),        # (gα, gγ)
+        ]
+        fwd_out_shape += [
+            jax.ShapeDtypeStruct((nh, B_pad), dtype),
+            jax.ShapeDtypeStruct((2, B_pad), dtype),
+        ]
+        fwd_args += [tVx_seq, Vxx_seq, LogS_seq]
 
     sfwd = pl.pallas_call(
-        functools.partial(_sfwd_kernel, pb, N),
+        functools.partial(_sfwd_kernel, pb, N, generic),
         grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X[:N]
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
-        ],
-        out_specs=[
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, Bt), fixed, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((m, B_pad), dtype),
-        ],
+        in_specs=fwd_in_specs,
+        out_specs=fwd_out_specs,
+        out_shape=fwd_out_shape,
         scratch_shapes=[pltpu.VMEM((nh, Bt), dtype)],
         interpret=interpret,
     )
-    gx, gr = sfwd(K, kff, X[:-1], X_ref[:-1], U, U_ref, C, X[-1], X_ref[-1])
+    out = sfwd(*fwd_args)
+    if generic:
+        gx, gr, gxt, gdyn = out
+        return gx[..., :B], gr[..., :B], gxt[..., :B], gdyn[..., :B]
+    gx, gr = out
     return gx[..., :B], gr[..., :B]

@@ -50,11 +50,16 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
     if engine == "lanes":
-        if not paper_mode:
-            raise ValueError("engine='lanes' supports the paper path (fixed nominal) only")
+        if cfg.adaptation.adapt_nominal:
+            raise ValueError("engine='lanes' covers the paper path and the uncoupled "
+                             "generic path; the coupled bilevel chain "
+                             "(adapt_nominal: true) runs on the XLA engine")
+        if not paper_mode and cfg.adaptation.steps != 1:
+            raise ValueError("engine='lanes' generic path supports adaptation.steps=1")
         if checkpoint_every:
             raise ValueError("engine='lanes' does not support checkpointing yet")
-        return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq, B=max(B, 1))
+        return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq,
+                                     B=max(B, 1), paper_mode=paper_mode)
     if engine != "xla":
         raise ValueError(f"unknown engine {engine!r} (xla or lanes)")
     if checkpoint_every:
@@ -162,10 +167,11 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
 
 
 def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir: str,
-                          *, key, w_seq, B: int) -> Dict[str, Any]:
-    """Paper-path closed loop on the fused lane Pallas pipeline (the throughput
-    flagship; see tube/lane_closed_loop.py). B lanes advance together; lane 0 is
-    saved as the reference-compatible single-run artifacts.
+                          *, key, w_seq, B: int, paper_mode: bool = True) -> Dict[str, Any]:
+    """Closed loop on the fused lane Pallas pipeline (the throughput flagship; see
+    tube/lane_closed_loop.py) — paper path or the uncoupled generic path
+    (raw-reparameterized θ with adaptive barrier α/γ). B lanes advance together;
+    lane 0 is saved as the reference-compatible single-run artifacts.
 
     Always runs float32: TPU cannot execute f64 Pallas custom calls (XLA's x64
     rewriting is not implemented for them), and f32 is this engine's design point.
@@ -174,7 +180,10 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     import os
 
     from .systems.registry import build_components
-    from .tube.lane_closed_loop import run_paper_closed_loop_lanes
+    from .tube.lane_closed_loop import (
+        run_generic_closed_loop_lanes,
+        run_paper_closed_loop_lanes,
+    )
 
     if jax.config.jax_enable_x64 and jax.devices()[0].platform != "cpu":
         raise ValueError(
@@ -186,7 +195,7 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     forced_f32 = cfg.use_float64
     if forced_f32:
         cfg = _dc.replace(cfg, use_float64=False)
-        built = build_experiment(cfg, paper_mode=True)
+        built = build_experiment(cfg, paper_mode=paper_mode)
 
     sys_c = build_components(
         cfg.system.name,
@@ -201,16 +210,48 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
         w_seq = w_seq[None]
 
     t0 = time.perf_counter()
-    log = jax.jit(
-        lambda k: run_paper_closed_loop_lanes(
-            built.system, built.aug, sys_c, built.tube_cfg,
-            w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
-            x0=built.x0, target=built.target,
-            w_seqs=w_seq, key=None if w_seq is not None else k,
-            batch=None if w_seq is not None else B,
-            eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+    if paper_mode:
+        log = jax.jit(
+            lambda k: run_paper_closed_loop_lanes(
+                built.system, built.aug, sys_c, built.tube_cfg,
+                w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+                x0=built.x0, target=built.target,
+                w_seqs=w_seq, key=None if w_seq is not None else k,
+                batch=None if w_seq is not None else B,
+                eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+            )
+        )(key)
+    else:
+        from .tube.params import RawAuxTheta, RawNominalTheta
+
+        dtype = cfg.dtype
+        raw_nom = RawNominalTheta(
+            Q_raw=jnp.asarray(list(cfg.cost_nominal.Q), dtype=dtype),
+            R_raw=jnp.asarray(list(cfg.cost_nominal.R), dtype=dtype),
+            Qf_raw=jnp.asarray(list(cfg.cost_nominal.Qf or cfg.cost_nominal.Q), dtype=dtype),
+            qb_raw=jnp.asarray(cfg.cost_nominal.q_b, dtype=dtype),
+            alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
+            gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
+            tight_raw=jnp.asarray(cfg.dbas.nominal_tightening, dtype=dtype),
         )
-    )(key)
+        raw_aux = RawAuxTheta(
+            Q_raw=jnp.asarray(list(cfg.cost_auxiliary.Q or cfg.cost_nominal.Q), dtype=dtype),
+            R_raw=jnp.asarray(list(cfg.cost_auxiliary.R or cfg.cost_nominal.R), dtype=dtype),
+            Qf_raw=jnp.asarray(list(cfg.cost_auxiliary.Qf or cfg.cost_auxiliary.Q or cfg.cost_nominal.Q), dtype=dtype),
+            qb_raw=jnp.asarray(cfg.cost_auxiliary.q_b, dtype=dtype),
+            alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
+            gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
+        )
+        log, _raw_final = jax.jit(
+            lambda k: run_generic_closed_loop_lanes(
+                built.system, built.aug, sys_c, built.tube_cfg,
+                raw_nom=raw_nom, raw_aux_init=raw_aux,
+                x0=built.x0, target=built.target,
+                w_seqs=w_seq, key=None if w_seq is not None else k,
+                batch=None if w_seq is not None else B,
+                eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+            )
+        )(key)
     jax.block_until_ready(log)
     wall = time.perf_counter() - t0
 
@@ -228,7 +269,7 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     finite = np.isfinite(final_losses)
     summary = {
         "system": cfg.system.name,
-        "mode": "paper",
+        "mode": "paper" if paper_mode else "generic",
         "engine": "lanes",
         "dtype": "float32" + (" (forced; lanes engine is f32-only)" if forced_f32 else ""),
         "H": H,

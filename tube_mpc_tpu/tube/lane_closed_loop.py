@@ -31,8 +31,16 @@ from .lane_interface import (
     make_lane_problem,
     tube_ilqr_solve_lanes,
     tube_sensitivity_grads_lanes,
+    tube_sensitivity_grads_lanes_generic,
 )
-from .params import AuxAdapt, momentum_update, project_aux_adapt
+from .params import (
+    AuxAdapt,
+    RawAuxTheta,
+    RawNominalTheta,
+    momentum_update,
+    project_aux_adapt,
+    project_raw,
+)
 
 
 class LaneLoopState(NamedTuple):
@@ -188,3 +196,187 @@ def run_paper_closed_loop_lanes(
     # time-major -> batch-major
     logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)
     return ClosedLoopLog(*logs)
+
+
+class GenericLaneState(NamedTuple):
+    x: Array        # [B, nx]
+    b: Array        # [B]
+    x_bar: Array    # [B, nx]
+    b_bar: Array    # [B]
+    U_nom_ws: Array  # [B, N, nu]
+    U_aux_ws: Array  # [B, N, nu]
+    raw_aux: RawAuxTheta   # [B, ...] leaves
+    vel_aux: RawAuxTheta
+
+
+def _raw_chain(raw: RawAuxTheta, g) -> RawAuxTheta:
+    """Chain-rule mapped-space gradients to raw space: softplus' = sigmoid(raw),
+    (softplus+c)' = sigmoid(raw), tanh' = 1 - tanh^2 (reference ``params.py:29-35``
+    reparameterizations; the reference autodiffs this, we apply it in closed form)."""
+    sg = jax.nn.sigmoid
+    th = jnp.tanh(raw.gamma_raw)
+    return RawAuxTheta(
+        Q_raw=g.Q * sg(raw.Q_raw),
+        R_raw=g.R * sg(raw.R_raw),
+        Qf_raw=g.Qf * sg(raw.Qf_raw),
+        qb_raw=g.qb * sg(raw.qb_raw),
+        alpha_raw=g.alpha * sg(raw.alpha_raw),
+        gamma_raw=g.gamma * (1.0 - th * th),
+    )
+
+
+def run_generic_closed_loop_lanes(
+    system: System,
+    aug: AugmentedDynamics,
+    sys_c: ComponentSystem,
+    cfg: TubeMPCConfig,
+    *,
+    raw_nom: RawNominalTheta,      # fixed (uncoupled generic path)
+    raw_aux_init: RawAuxTheta,     # shared [d]-leaves or per-lane [B, d]
+    x0: Array,
+    target: Array,
+    w_seqs: Optional[Array] = None,
+    key: Optional[Array] = None,
+    batch: Optional[int] = None,
+    eps: float = 1e-6,
+    barrier_type: str = "inverse",
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> Tuple[ClosedLoopLog, RawAuxTheta]:
+    """Generic-path (raw-reparameterized θ, adaptive barrier α/γ) closed loop on the
+    fused lane kernels — the reference's ``run_closed_loop_experiment`` with
+    ``paper_dubins_mode: false, adapt_nominal: false`` (``tube_mpc.py:40-663``), B
+    lanes at once. Semantics per step match tube/closed_loop.run_generic_closed_loop
+    with adapt_nominal=False (parity-tested in tests/test_lane_generic.py).
+
+    The nominal problem uses the FIXED mapped θ̄ (incl. its barrier α/γ and
+    tightening); each lane's ancillary raw θ adapts by projected momentum on the
+    full IFT gradient (weights + barrier dynamics parameters) computed by the
+    generic lane sensitivity kernels.
+
+    Returns (log [B, H, ...], final raw_aux).
+    """
+    if cfg.adapt.steps != 1:
+        raise NotImplementedError("lanes generic engine supports adapt.steps == 1")
+    if cfg.adapt_nominal:
+        raise NotImplementedError("lanes generic engine is the uncoupled path "
+                                  "(adapt_nominal=False); use the XLA path for the "
+                                  "coupled bilevel chain")
+    nx, nu = system.nx, system.nu
+    N, H = cfg.N, cfg.H
+
+    if w_seqs is None:
+        if key is None or batch is None:
+            raise ValueError("provide w_seqs or (key, batch)")
+        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
+    B = w_seqs.shape[0]
+    dtype = w_seqs.dtype
+
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, nx))
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    nom_cfg = cfg.nominal_ilqr()
+    aux_cfg = cfg.aux_ilqr()
+
+    # fixed nominal parameters (mapped once)
+    w_nom = CostWeights(Q=raw_nom.Q(), R=raw_nom.R(), Qf=raw_nom.Qf(), qb=raw_nom.qb())
+    bp_nom = BarrierParams(alpha=raw_nom.alpha(), gamma=raw_nom.gamma(), tight=raw_nom.tight())
+
+    # per-lane raw ancillary params
+    def _bcast(v, d):
+        v = jnp.asarray(v, dtype=dtype)
+        return jnp.broadcast_to(v, (B,) + v.shape[-1:]) if d else jnp.broadcast_to(v, (B,))
+
+    raw_aux_init = RawAuxTheta(
+        Q_raw=_bcast(raw_aux_init.Q_raw, True),
+        R_raw=_bcast(raw_aux_init.R_raw, True),
+        Qf_raw=_bcast(raw_aux_init.Qf_raw, True),
+        qb_raw=_bcast(raw_aux_init.qb_raw, False),
+        alpha_raw=_bcast(raw_aux_init.alpha_raw, False),
+        gamma_raw=_bcast(raw_aux_init.gamma_raw, False),
+    )
+
+    zero_t = jnp.zeros((B,), dtype=dtype)
+    bp_aux0 = BarrierParams(alpha=raw_aux_init.alpha(), gamma=raw_aux_init.gamma(), tight=zero_t)
+    b0 = aug.init_b0(x0, bp_aux0)
+    b_bar0 = aug.init_b0(x0, bp_nom)
+    if b_bar0.ndim == 0:
+        b_bar0 = jnp.broadcast_to(b_bar0, (B,))
+
+    X_ref_nom = jnp.broadcast_to(target[None, None], (B, N + 1, nx))
+    U_ref_nom = jnp.zeros((B, N, nu), dtype=dtype)
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)
+
+    def step(state: GenericLaneState, w_t):
+        raw = state.raw_aux
+        w_aux = CostWeights(Q=raw.Q(), R=raw.R(), Qf=raw.Qf(), qb=raw.qb())
+        bp_aux = BarrierParams(alpha=raw.alpha(), gamma=raw.gamma(), tight=zero_t)
+
+        x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
+        X_nom, U_nom = tube_ilqr_solve_lanes(
+            pb, nom_cfg, w=w_nom, bp=bp_nom,
+            x_hat0=x_hat_bar, U_init=state.U_nom_ws,
+            X_ref=X_ref_nom, U_ref=U_ref_nom,
+            block_b=block_b, interpret=interpret,
+        )
+        X_ref = X_nom[..., :nx]
+
+        x_hat = jnp.concatenate([state.x, state.b[:, None]], axis=-1)
+        X_aux, U_aux = tube_ilqr_solve_lanes(
+            pb, aux_cfg, w=w_aux, bp=bp_aux,
+            x_hat0=x_hat, U_init=state.U_aux_ws,
+            X_ref=X_ref, U_ref=U_nom,
+            block_b=block_b, interpret=interpret,
+        )
+
+        dx = X_aux[..., :nx] - X_ref
+        db = X_aux[..., nx]
+        L = jnp.sum(dx * dx, axis=(-2, -1)) + jnp.sum(db * db, axis=-1)
+
+        g = tube_sensitivity_grads_lanes_generic(
+            pb, w=w_aux, bp=bp_aux,
+            X_hat=X_aux, U=U_aux, X_ref=X_ref, U_ref=U_nom,
+            reg=1e-9, block_b=block_b, interpret=interpret,
+        )
+        g_raw = _raw_chain(raw, g)
+        # fault isolation: lanes with non-finite gradients skip this update
+        # (see run_paper_closed_loop_lanes)
+        ok = jnp.isfinite(L)
+        for leaf in g_raw:
+            ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
+        g_raw = jax.tree.map(
+            lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), g_raw)
+
+        raw_new, vel_new = momentum_update(raw, g_raw, state.vel_aux, cfg.adapt, project_raw)
+
+        bp_aux_post = BarrierParams(alpha=raw_new.alpha(), gamma=raw_new.gamma(), tight=zero_t)
+        u = U_aux[:, 0]
+        x_hat_next = aug.f_hat(x_hat, u, bp_aux_post)
+        u_bar = U_nom[:, 0]
+        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp_nom)
+
+        new_state = GenericLaneState(
+            x=x_hat_next[..., :nx] + w_t,
+            b=x_hat_next[..., nx],
+            x_bar=x_hat_bar_next[..., :nx],
+            b_bar=x_hat_bar_next[..., nx],
+            U_nom_ws=jnp.concatenate([U_nom[:, 1:], U_nom[:, -1:]], axis=1),
+            U_aux_ws=jnp.concatenate([U_aux[:, 1:], U_aux[:, -1:]], axis=1),
+            raw_aux=raw_new,
+            vel_aux=vel_new,
+        )
+        log = (state.x, u, state.x_bar, u_bar, state.b, L,
+               raw_new.Q(), raw_new.R(), raw_new.qb())
+        return new_state, log
+
+    init = GenericLaneState(
+        x=x0, b=b0, x_bar=x0, b_bar=b_bar0,
+        U_nom_ws=jnp.zeros((B, N, nu), dtype=dtype),
+        U_aux_ws=jnp.zeros((B, N, nu), dtype=dtype),
+        raw_aux=raw_aux_init,
+        vel_aux=jax.tree.map(jnp.zeros_like, raw_aux_init),
+    )
+    final, logs = jax.lax.scan(step, init, w_tm)
+    logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)
+    return ClosedLoopLog(*logs), final.raw_aux

@@ -10,7 +10,7 @@ fraction of the on-chip cost (dense lanes instead of 64x-padded tiles).
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -166,3 +166,56 @@ def tube_sensitivity_grads_lanes(
         C=C, reg=reg, active_tol=active_tol, block_b=block_b, interpret=interpret,
     )
     return AuxAdapt(Q=_unrows(gx[: pb.n]), R=_unrows(gr), qb=gx[pb.n])
+
+
+class GenericAuxGrads(NamedTuple):
+    """Per-lane gradients of the upper loss w.r.t. the MAPPED generic ancillary
+    parameters θ = (Q, R, Qf, qb, α, γ) (chain-rule to raws happens at the caller)."""
+
+    Q: Array      # [B, n]
+    R: Array      # [B, m]
+    Qf: Array     # [B, n]
+    qb: Array     # [B]
+    alpha: Array  # [B]
+    gamma: Array  # [B]
+
+
+def tube_sensitivity_grads_lanes_generic(
+    pb: LaneProblem,
+    *,
+    w: CostWeights,
+    bp: BarrierParams,
+    X_hat: Array,    # [B, N+1, n̂]
+    U: Array,        # [B, N, m]
+    X_ref: Array,    # [B, N+1, n]
+    U_ref: Array,    # [B, N, m]
+    reg: float = 1e-9,
+    active_tol: float = 1e-8,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> GenericAuxGrads:
+    """Generic-path IFT gradients on the fused lane kernels: full θ including the
+    separate terminal Qf and the barrier DYNAMICS parameters (α, γ) via the
+    Σ_k δλ_{k+1}ᵀ ∂f̂/∂θ term. Parity vs the XLA custom_vjp path is pinned in
+    tests/test_lane_generic.py."""
+    from ..ops.pallas.lane_sensitivity import lane_sensitivity_grads
+
+    B = U.shape[0]
+    dtype = U.dtype
+    Xr_hat = jnp.concatenate(
+        [X_ref, jnp.zeros(X_ref.shape[:-1] + (1,), dtype=dtype)], axis=-1
+    )
+    C = _build_C(pb, w, bp, B, dtype)
+    gx, gr, gxt, gdyn = lane_sensitivity_grads(
+        pb, X=_rows(X_hat), U=_rows(U), X_ref=_rows(Xr_hat), U_ref=_rows(U_ref),
+        C=C, reg=reg, active_tol=active_tol, block_b=block_b, interpret=interpret,
+        generic=True,
+    )
+    return GenericAuxGrads(
+        Q=_unrows(gx[: pb.n]),
+        R=_unrows(gr),
+        Qf=_unrows(gxt[: pb.n]),
+        qb=gx[pb.n] + gxt[pb.n],
+        alpha=gdyn[0],
+        gamma=gdyn[1],
+    )
