@@ -52,11 +52,21 @@ def _lu_solve_2x2(A: Array, B: Array) -> Array:
     p11 = jnp.where(swap, b, d)
     b0 = jnp.where(swap[..., None], B[..., 1, :], B[..., 0, :])
     b1 = jnp.where(swap[..., None], B[..., 0, :], B[..., 1, :])
-    l = p10 / p00
+    # EXACT zero pivots or non-finite entries mean a truly singular / overflowed
+    # system — torch.linalg.solve errors or returns NaN there, poisoning the whole
+    # run. Return X = 0 instead (the solver keeps its incumbent trajectory). Any
+    # system with nonzero pivots — however ill-conditioned — takes the pure LU
+    # path, which is what the teacher-forced f64 agreement relies on.
+    finite = jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(c) & jnp.isfinite(d)
+    l = p10 / jnp.where(p00 == 0.0, 1.0, p00)
     u11 = p11 - l * p01
+    ok = finite & (p00 != 0.0) & (u11 != 0.0)
+    u11 = jnp.where(u11 == 0.0, 1.0, u11)
+    p00 = jnp.where(p00 == 0.0, 1.0, p00)
     x1 = (b1 - l[..., None] * b0) / u11[..., None]
     x0 = (b0 - p01[..., None] * x1) / p00[..., None]
-    return jnp.stack([x0, x1], axis=-2)
+    X = jnp.stack([x0, x1], axis=-2)
+    return jnp.where(ok[..., None, None], X, 0.0)
 
 
 def solve_spd(A: Array, B: Array) -> Array:

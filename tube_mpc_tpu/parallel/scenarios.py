@@ -241,7 +241,13 @@ def _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name):
         return new_state, (L, adapt.Q, adapt.R, adapt.qb, finite_frac)
 
     def run(x0_b: Array, w_seqs: Array, adapt0: AuxAdapt):
-        """x0_b [B_local, nx]; w_seqs [H, B_local, nx] (time-major for the scan)."""
+        """x0_b [B_local, nx]; w_seqs [B_local, H, nx].
+
+        The time-major swap for the scan happens HERE (shard-locally) rather than at
+        the caller: an eager transpose on the global batch-sharded array would be a
+        cross-process computation on a non-fully-addressable array in multi-host runs
+        (tests/test_multiprocess.py)."""
+        w_seqs = jnp.swapaxes(w_seqs, 0, 1)  # [H, B_local, nx]
         B = x0_b.shape[0]
         b0 = aug.init_b0(x0_b, bp)
         N = cfg.N
@@ -279,11 +285,9 @@ def run_population_adaptation(
     the mesh every step (psum over ICI/DCN), and θ stays replicated-in-sync by
     construction. B must be divisible by the mesh size.
     """
-    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx] time-major
-
     if mesh is None:
         run = _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name=None)
-        return run(x0_batch, w_tm, aux_init)
+        return run(x0_batch, w_seqs, aux_init)
 
     axis = mesh.axis_names[0]
     run = _population_scan(system, aug, cfg, w_nominal, bp, target, axis_name=axis)
@@ -295,8 +299,8 @@ def run_population_adaptation(
     sharded_run = jax.shard_map(
         run,
         mesh=mesh,
-        in_specs=(shard, P(None, axis), P()),
+        in_specs=(shard, shard, P()),
         out_specs=(P(), P()),   # log and final adapt are identical on every device
         check_vma=False,
     )
-    return sharded_run(x0_batch, w_tm, aux_init)
+    return sharded_run(x0_batch, w_seqs, aux_init)

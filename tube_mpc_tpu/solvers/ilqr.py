@@ -181,9 +181,15 @@ def _ilqr_solve_impl(ocp, cfg, theta, x0, U_init):
         costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
         best = jnp.argmin(costs)  # first minimum wins ties, like the reference's strict <
         best_cost = costs[best]
-        X_new = X_c[best]
-        U_new = U_c[best]
-        done = jnp.abs(prev_cost - best_cost) < cfg.tol
+        # If NO candidate is finite (all rollouts overflowed — possible with exact
+        # LU gains on a singular-barrier trajectory), keep the incumbent and stop:
+        # the reference would accept the garbage first candidate and NaN out
+        # (ddp.py:293 with best_cost None); freezing is the graceful equivalent.
+        any_finite = jnp.isfinite(best_cost)
+        X_new = jnp.where(any_finite, X_c[best], X)
+        U_new = jnp.where(any_finite, U_c[best], U)
+        best_cost = jnp.where(any_finite, best_cost, prev_cost)
+        done = (jnp.abs(prev_cost - best_cost) < cfg.tol) | ~any_finite
         return it + 1, X_new, U_new, best_cost, done
 
     def cond(carry):
