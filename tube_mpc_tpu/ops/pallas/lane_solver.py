@@ -269,8 +269,14 @@ def lane_ilqr_solve(
     alphas: Tuple[float, ...],
     block_b: int = 4096,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
-    """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows."""
+    with_iters: bool = False,
+) -> Tuple[Array, ...]:
+    """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows.
+
+    with_iters=True additionally returns the number of improvement iterations the
+    while_loop executed (scalar; all lanes advance together so this is the batch
+    max) — used by benchmarks/bench_roofline.py to convert measured throughput into
+    FLOPs."""
     nh, m = pb.n_hat, pb.m
     N = U0.shape[0]
     B = U0.shape[-1]
@@ -398,5 +404,7 @@ def lane_ilqr_solve(
         jnp.full((B_pad,), jnp.inf, dtype=dtype),
         jnp.zeros((B_pad,), dtype=bool),
     )
-    _, X, U, _, _ = jax.lax.while_loop(cond, body, init)
+    it, X, U, _, _ = jax.lax.while_loop(cond, body, init)
+    if with_iters:
+        return X[..., :B], U[..., :B], it
     return X[..., :B], U[..., :B]

@@ -53,10 +53,12 @@ def tube_ilqr_solve_lanes(
     U_ref: Array,             # [B, N, m]    (or [N, m] broadcast)
     block_b: int = 4096,
     interpret: bool = False,
-) -> Tuple[Array, Array]:
+    with_iters: bool = False,
+) -> Tuple[Array, ...]:
     """Solve B tube OCPs at once with the fused lane kernels.
 
-    Returns (X_hat [B, N+1, n̂], U [B, N, m]). Clamping, alpha-ladder selection and
+    Returns (X_hat [B, N+1, n̂], U [B, N, m]) — plus the executed while_loop
+    iteration count when with_iters=True. Clamping, alpha-ladder selection and
     per-lane convergence reproduce solvers/ilqr.ilqr_solve.
     """
     B, N, m = U_init.shape
@@ -92,7 +94,7 @@ def tube_ilqr_solve_lanes(
     # pack weights / barrier params into const rows (per-lane values supported)
     C = _build_C(pb, w, bp, B, dtype)
 
-    X_r, U_r = lane_ilqr_solve(
+    out = lane_ilqr_solve(
         pb,
         x_hat0=x0_r,
         U0=U0_r,
@@ -106,7 +108,12 @@ def tube_ilqr_solve_lanes(
         alphas=cfg.alphas,
         block_b=block_b,
         interpret=interpret,
+        with_iters=with_iters,
     )
+    if with_iters:
+        X_r, U_r, it = out
+        return _unrows(X_r), _unrows(U_r), it
+    X_r, U_r = out
     return _unrows(X_r), _unrows(U_r)
 
 
