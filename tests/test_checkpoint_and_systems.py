@@ -11,7 +11,7 @@ from tube_mpc_tpu.systems.cartpole import make_cartpole
 from tube_mpc_tpu.systems.double_integrator import make_double_integrator
 from tube_mpc_tpu.systems.obstacles import CircleField
 from tube_mpc_tpu.systems.quadrotor2d import make_quadrotor2d
-from tube_mpc_tpu.tube.closed_loop import TubeMPCConfig, run_paper_closed_loop
+from tube_mpc_tpu.tube.closed_loop import ClosedLoopLog, TubeMPCConfig, run_paper_closed_loop
 from tube_mpc_tpu.tube.params import AdaptConfig, AuxAdapt
 from tube_mpc_tpu.utils.checkpoint import latest_checkpoint, run_paper_closed_loop_checkpointed
 
@@ -139,3 +139,54 @@ class TestNewSystems:
             key=jax.random.PRNGKey(0),
         )
         assert np.all(np.isfinite(np.asarray(log.x_real)))
+
+
+class TestLaneCheckpoint:
+    def test_lane_checkpoint_resume_bit_exact(self, tmp_path):
+        """Batched lane-engine checkpointing: kill after segment 2, resume, match the
+        monolithic lane run bit-exactly (all [B, ...] carries incl. per-lane θ)."""
+        import os
+
+        from tube_mpc_tpu.ops.lanes import dubins_components
+        from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
+        from tube_mpc_tpu.tube.lane_closed_loop import run_paper_closed_loop_lanes
+        from tube_mpc_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            run_paper_closed_loop_lanes_checkpointed,
+        )
+
+        s = dubins_paper_setup(N=6, H=7, dtype=F64, nominal_max_iter=3, aux_max_iter=3,
+                               alphas=(1.0, 0.5, 0.0))
+        sys_c = dubins_components(
+            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+            centers=PAPER_OBSTACLES, radii=[1.0] * 5, aggregation="smoothmin", beta=20.0,
+        )
+        B = 2
+        w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(3), (B, s.cfg.H), dtype=F64)
+        kw = dict(w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+                  x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                  block_b=128, interpret=True)
+
+        mono = run_paper_closed_loop_lanes(s.system, s.aug, sys_c, s.cfg, **kw)
+
+        d1 = str(tmp_path / "ck")
+        full = run_paper_closed_loop_lanes_checkpointed(
+            s.system, s.aug, sys_c, s.cfg, ckpt_dir=d1, segment_len=3, **kw)
+        # simulate a crash: drop the final checkpoints, resume from step 3
+        for t in (6, 7):
+            for p in (f"state_{t}.npz", f"logs_{t}.npz"):
+                f = os.path.join(d1, p)
+                if os.path.exists(f):
+                    os.remove(f)
+        assert latest_checkpoint(d1).endswith("state_3.npz")
+        resumed = run_paper_closed_loop_lanes_checkpointed(
+            s.system, s.aug, sys_c, s.cfg, ckpt_dir=d1, segment_len=3, **kw)
+
+        for f in ClosedLoopLog._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(resumed, f)), np.asarray(getattr(full, f)), err_msg=f)
+        # segmented vs monolithic: same scan body, ulp-level agreement
+        np.testing.assert_allclose(np.asarray(full.u_real), np.asarray(mono.u_real),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(full.Q_hist), np.asarray(mono.Q_hist),
+                                   rtol=1e-9, atol=1e-11)

@@ -56,10 +56,11 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
                              "(adapt_nominal: true) runs on the XLA engine")
         if not paper_mode and cfg.adaptation.steps != 1:
             raise ValueError("engine='lanes' generic path supports adaptation.steps=1")
-        if checkpoint_every:
-            raise ValueError("engine='lanes' does not support checkpointing yet")
+        if checkpoint_every and not paper_mode:
+            raise ValueError("engine='lanes' checkpointing covers the paper path")
         return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq,
-                                     B=max(B, 1), paper_mode=paper_mode)
+                                     B=max(B, 1), paper_mode=paper_mode,
+                                     checkpoint_every=checkpoint_every)
     if engine != "xla":
         raise ValueError(f"unknown engine {engine!r} (xla or lanes)")
     if checkpoint_every:
@@ -167,7 +168,8 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
 
 
 def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir: str,
-                          *, key, w_seq, B: int, paper_mode: bool = True) -> Dict[str, Any]:
+                          *, key, w_seq, B: int, paper_mode: bool = True,
+                          checkpoint_every: Optional[int] = None) -> Dict[str, Any]:
     """Closed loop on the fused lane Pallas pipeline (the throughput flagship; see
     tube/lane_closed_loop.py) — paper path or the uncoupled generic path
     (raw-reparameterized θ with adaptive barrier α/γ). B lanes advance together;
@@ -210,7 +212,19 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
         w_seq = w_seq[None]
 
     t0 = time.perf_counter()
-    if paper_mode:
+    if paper_mode and checkpoint_every:
+        from .utils.checkpoint import run_paper_closed_loop_lanes_checkpointed
+
+        log = run_paper_closed_loop_lanes_checkpointed(
+            built.system, built.aug, sys_c, built.tube_cfg,
+            w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+            x0=built.x0, target=built.target,
+            w_seqs=w_seq, key=None if w_seq is not None else key,
+            batch=None if w_seq is not None else B,
+            ckpt_dir=f"{run_dir}/ckpt", segment_len=int(checkpoint_every),
+            eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+        )
+    elif paper_mode:
         log = jax.jit(
             lambda k: run_paper_closed_loop_lanes(
                 built.system, built.aug, sys_c, built.tube_cfg,

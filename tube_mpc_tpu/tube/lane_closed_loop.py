@@ -54,56 +54,29 @@ class LaneLoopState(NamedTuple):
     vel: AuxAdapt
 
 
-def run_paper_closed_loop_lanes(
+def make_paper_lane_step(
     system: System,
     aug: AugmentedDynamics,
-    sys_c: ComponentSystem,
+    pb,
     cfg: TubeMPCConfig,
     *,
     w_nominal: CostWeights,
-    aux_init: AuxAdapt,
     bp: BarrierParams,
-    x0: Array,           # [nx] shared or [B, nx]
     target: Array,
-    w_seqs: Optional[Array] = None,   # [B, H, nx]
-    key: Optional[Array] = None,
-    batch: Optional[int] = None,
-    eps: float = 1e-4,
-    barrier_type: str = "inverse",
+    B: int,
+    dtype,
     population: bool = False,
     block_b: int = 4096,
     interpret: bool = False,
-) -> ClosedLoopLog:
-    """Returns a ClosedLoopLog with leading batch dim [B, H, ...]."""
+):
+    """Build the per-step lane scan body (shared by the monolithic driver below and
+    the segmented/checkpointed runner in utils/checkpoint.py)."""
     nx, nu = system.nx, system.nu
-    N, H = cfg.N, cfg.H
-
-    if w_seqs is None:
-        if key is None or batch is None:
-            raise ValueError("provide w_seqs or (key, batch)")
-        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
-    B = w_seqs.shape[0]
-    dtype = w_seqs.dtype
-
-    if x0.ndim == 1:
-        x0 = jnp.broadcast_to(x0, (B, nx))
-
-    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    N = cfg.N
     nom_cfg = cfg.nominal_ilqr()
     aux_cfg = cfg.aux_ilqr()
-
-    # per-lane adaptation state unless population mode
-    if not population:
-        aux_init = AuxAdapt(
-            Q=jnp.broadcast_to(aux_init.Q, (B, nx)),
-            R=jnp.broadcast_to(aux_init.R, (B, nu)),
-            qb=jnp.broadcast_to(aux_init.qb, (B,)),
-        )
-
-    b0 = aug.init_b0(x0, bp)
     X_ref_nom = jnp.broadcast_to(target[None, None], (B, N + 1, nx))
     U_ref_nom = jnp.zeros((B, N, nu), dtype=dtype)
-    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx]
 
     def step(state: LaneLoopState, w_t):
         x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
@@ -185,13 +158,72 @@ def run_paper_closed_loop_lanes(
         log = (state.x, u, state.x_bar, u_bar, state.b, L, logQ, logR, logqb)
         return new_state, log
 
-    init = LaneLoopState(
+    return step
+
+
+def paper_lane_init_state(
+    system: System, aug: AugmentedDynamics, cfg: TubeMPCConfig,
+    *, aux_init: AuxAdapt, bp: BarrierParams, x0: Array, B: int, dtype,
+    population: bool = False,
+) -> LaneLoopState:
+    nx, nu = system.nx, system.nu
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, nx))
+    if not population:
+        aux_init = AuxAdapt(
+            Q=jnp.broadcast_to(aux_init.Q, (B, nx)),
+            R=jnp.broadcast_to(aux_init.R, (B, nu)),
+            qb=jnp.broadcast_to(aux_init.qb, (B,)),
+        )
+    b0 = aug.init_b0(x0, bp)
+    return LaneLoopState(
         x=x0, b=b0, x_bar=x0, b_bar=b0,
-        U_nom_ws=jnp.zeros((B, N, nu), dtype=dtype),
-        U_aux_ws=jnp.zeros((B, N, nu), dtype=dtype),
+        U_nom_ws=jnp.zeros((B, cfg.N, nu), dtype=dtype),
+        U_aux_ws=jnp.zeros((B, cfg.N, nu), dtype=dtype),
         adapt=aux_init,
         vel=jax.tree.map(jnp.zeros_like, aux_init),
     )
+
+
+def run_paper_closed_loop_lanes(
+    system: System,
+    aug: AugmentedDynamics,
+    sys_c: ComponentSystem,
+    cfg: TubeMPCConfig,
+    *,
+    w_nominal: CostWeights,
+    aux_init: AuxAdapt,
+    bp: BarrierParams,
+    x0: Array,           # [nx] shared or [B, nx]
+    target: Array,
+    w_seqs: Optional[Array] = None,   # [B, H, nx]
+    key: Optional[Array] = None,
+    batch: Optional[int] = None,
+    eps: float = 1e-4,
+    barrier_type: str = "inverse",
+    population: bool = False,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> ClosedLoopLog:
+    """Returns a ClosedLoopLog with leading batch dim [B, H, ...]."""
+    H = cfg.H
+    if w_seqs is None:
+        if key is None or batch is None:
+            raise ValueError("provide w_seqs or (key, batch)")
+        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
+    B = w_seqs.shape[0]
+    dtype = w_seqs.dtype
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_paper_lane_step(
+        system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
+        B=B, dtype=dtype, population=population, block_b=block_b, interpret=interpret,
+    )
+    init = paper_lane_init_state(
+        system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0, B=B, dtype=dtype,
+        population=population,
+    )
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx]
     _, logs = jax.lax.scan(step, init, w_tm)
     # time-major -> batch-major
     logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)

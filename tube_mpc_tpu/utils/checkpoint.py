@@ -133,3 +133,99 @@ def run_paper_closed_loop_checkpointed(
         )
 
     return logs_so_far[0]
+
+
+def run_paper_closed_loop_lanes_checkpointed(
+    system,
+    aug,
+    sys_c,
+    cfg,
+    *,
+    w_nominal,
+    aux_init,
+    bp,
+    x0,
+    target,
+    key=None,
+    w_seqs=None,
+    batch=None,
+    ckpt_dir: str,
+    segment_len: int = 50,
+    eps: float = 1e-4,
+    barrier_type: str = "inverse",
+    population: bool = False,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> ClosedLoopLog:
+    """Segmented, resumable version of the BATCHED lane-engine closed loop
+    (tube/lane_closed_loop.run_paper_closed_loop_lanes): the full [B, ...] carry —
+    every lane's state, warm starts, per-lane θ and momentum — checkpoints at
+    segment boundaries, so a killed fleet run resumes bit-exactly. Returns a
+    ClosedLoopLog with leading batch dim.
+
+    The reference has no checkpointing at all (SURVEY.md §5); the round-1 build had
+    it only for the single-trajectory XLA paper path.
+    """
+    from ..tube.lane_closed_loop import (
+        make_paper_lane_step,
+        paper_lane_init_state,
+    )
+    from ..tube.lane_interface import make_lane_problem
+
+    H = cfg.H
+    if w_seqs is None:
+        if key is None or batch is None:
+            raise ValueError("provide w_seqs or (key, batch)")
+        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
+    B = w_seqs.shape[0]
+    dtype = w_seqs.dtype
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx]
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_paper_lane_step(
+        system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
+        B=B, dtype=dtype, population=population, block_b=block_b, interpret=interpret,
+    )
+
+    @jax.jit
+    def run_segment(state, w_slice):
+        return jax.lax.scan(step, state, w_slice)
+
+    template = paper_lane_init_state(
+        system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0, B=B, dtype=dtype,
+        population=population,
+    )
+
+    start = 0
+    state = template
+    logs_so_far: list = []
+    ck = latest_checkpoint(ckpt_dir)
+    if ck is not None:
+        state, start = load_state(ck, template)
+        saved_logs = np.load(ck.replace("state_", "logs_"), allow_pickle=False)
+        logs_so_far = [
+            ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
+        ]
+
+    t = start
+    while t < H:
+        seg = min(segment_len, H - t)
+        state, logs = run_segment(state, w_tm[t : t + seg])
+        logs = ClosedLoopLog(*logs)   # time-major [seg, B, ...]
+        logs_so_far.append(logs)
+        t += seg
+        merged = ClosedLoopLog(
+            *[jnp.concatenate([getattr(l, f) for l in logs_so_far], axis=0)
+              for f in ClosedLoopLog._fields]
+        )
+        logs_so_far = [merged]
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t)
+        np.savez(
+            os.path.join(ckpt_dir, f"logs_{t}.npz"),
+            **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
+        )
+
+    merged = logs_so_far[0]
+    # time-major -> batch-major, matching run_paper_closed_loop_lanes
+    return ClosedLoopLog(*[jnp.swapaxes(getattr(merged, f), 0, 1)
+                           for f in ClosedLoopLog._fields])
