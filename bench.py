@@ -49,13 +49,14 @@ def main() -> None:
             aggregation="smoothmin", beta=20.0,
         )
 
-        if mode == "generic":
+        if mode in ("generic", "coupled"):
             from tube_mpc_tpu.tube.params import RawAuxTheta, RawNominalTheta
             import dataclasses as _dc
 
             from tube_mpc_tpu.tube.params import AdaptConfig
             cfg = _dc.replace(s.cfg, adapt=AdaptConfig(
-                lr=5e-2, momentum=0.9, steps=1, grad_clip_norm=1.0, project=True))
+                lr=5e-2, momentum=0.9, steps=1, grad_clip_norm=1.0, project=True),
+                adapt_nominal=(mode == "coupled"))
             F32 = jnp.float32
             raw_nom = RawNominalTheta(
                 Q_raw=jnp.asarray([1.0, 1.0, 0.0], F32), R_raw=jnp.asarray([1.0, 1.0], F32),
@@ -110,8 +111,8 @@ def main() -> None:
     solves_per_sec = solves / elapsed
     finite_frac = float(np.isfinite(np.asarray(out[1][:, -1])).mean())
     metric = "tube_mpc_solves_per_sec_per_chip_dubins_T50"
-    if mode == "generic":
-        metric += "_generic"
+    if mode != "paper":
+        metric += "_" + mode
     print(json.dumps({
         "metric": metric,
         "value": round(solves_per_sec, 2),

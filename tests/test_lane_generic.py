@@ -63,7 +63,7 @@ def test_generic_lane_closed_loop_matches_xla_driver():
     eps = 1e-4
     w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(0), (B, cfg.H), dtype=F64)
 
-    lane, raw_final = run_generic_closed_loop_lanes(
+    lane, (raw_final, _) = run_generic_closed_loop_lanes(
         s.system, s.aug, sys_c, cfg,
         raw_nom=raw_nom, raw_aux_init=raw_aux,
         x0=x0, target=s.target, w_seqs=w_seqs,
@@ -96,7 +96,7 @@ def test_generic_lane_adapts_barrier_params():
     s, sys_c, cfg, raw_nom, raw_aux, x0 = _setup(N=6, H=4)
     B = 2
     w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(1), (B, cfg.H), dtype=F64)
-    _, raw_final = run_generic_closed_loop_lanes(
+    _, (raw_final, _) = run_generic_closed_loop_lanes(
         s.system, s.aug, sys_c, cfg,
         raw_nom=raw_nom, raw_aux_init=raw_aux,
         x0=x0, target=s.target, w_seqs=w_seqs,
@@ -104,3 +104,45 @@ def test_generic_lane_adapts_barrier_params():
     )
     assert np.max(np.abs(np.asarray(raw_final.alpha_raw) - float(raw_aux.alpha_raw))) > 0
     assert np.max(np.abs(np.asarray(raw_final.gamma_raw) - float(raw_aux.gamma_raw))) > 0
+
+
+def test_coupled_lane_closed_loop_matches_xla_driver():
+    """COUPLED bilevel (adapt_nominal=True) on the lane kernels vs the XLA
+    custom_vjp driver: the aux sweep's reference-cotangents feed a second nominal
+    sweep whose full θ̄ gradient (incl. α/γ/tight dynamics terms) updates the
+    per-lane nominal raws — x_bar/u_bar equality across steps pins the chain."""
+    import dataclasses
+
+    s, sys_c, cfg, raw_nom, raw_aux, x0 = _setup(N=6, H=4)
+    cfg = dataclasses.replace(cfg, adapt_nominal=True, nominal_max_iter=3, aux_max_iter=3)
+    B = 2
+    eps = 1e-4
+    w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(2), (B, cfg.H), dtype=F64)
+
+    lane, (raw_aux_f, raw_nom_f) = run_generic_closed_loop_lanes(
+        s.system, s.aug, sys_c, cfg,
+        raw_nom=raw_nom, raw_aux_init=raw_aux,
+        x0=x0, target=s.target, w_seqs=w_seqs,
+        eps=eps, block_b=128, interpret=True,
+    )
+
+    from tube_mpc_tpu.ops.dbas import make_augmented
+    aug = make_augmented(s.system, barrier_type="inverse", eps=eps)
+    per_sample = jax.vmap(
+        lambda w: run_generic_closed_loop(
+            s.system, aug, cfg,
+            raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+            x0=x0, target=s.target, w_seq=w,
+        )[0]
+    )(w_seqs)
+
+    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.x_real), np.asarray(per_sample.x_real), rtol=1e-7, atol=1e-8)
+    # the coupled chain moves θ̄ — the nominal trajectory history pins it
+    np.testing.assert_allclose(np.asarray(lane.x_bar), np.asarray(per_sample.x_bar), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.u_bar), np.asarray(per_sample.u_bar), rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lane.Q_hist), np.asarray(per_sample.Q_hist), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lane.R_hist), np.asarray(per_sample.R_hist), rtol=1e-7, atol=1e-10)
+    # θ̄ actually moved
+    assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0
+    assert np.max(np.abs(np.asarray(raw_nom_f.tight_raw) - float(raw_nom.tight_raw))) > 0

@@ -46,8 +46,17 @@ _V_SCALE_THRESH = 1e8
 
 
 def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
-                 *refs):
+                 custom_upper: bool, *refs):
+    """Backward δz sweep. custom_upper=True replaces the in-kernel tube upper
+    gradient (g_x = 2(x - x_ref), g_u = 0) with CALLER-SUPPLIED per-step rows —
+    the coupled-bilevel chain feeds the nominal problem the aux solve's
+    reference-cotangents this way (reference ``tube_mpc.py:516-559``)."""
     nh, m = pb.n_hat, pb.m
+    refs = list(refs)
+    if custom_upper:
+        gX_ref = refs.pop(0)   # [1, nh, B] upper grad rows at k
+        gU_ref = refs.pop(0)   # [1, m, B]
+        gXN_ref = refs.pop(0)  # [nh, B] terminal upper grad rows
     if generic:
         (U_ref, X_ref, Xr_ref, C_ref, XN_ref, XrN_ref,
          K_out, kff_out, tVx_out, Vxx_out, LogS_out, Vxx, tVx, LogS) = refs
@@ -58,9 +67,12 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
 
     @pl.when(kidx == 0)
     def _init():
-        # V_xx(N) = terminal Hessian diag; tV_x(N) = g_x(N) = 2 (x_N - xref_N)
+        # V_xx(N) = terminal Hessian diag; tV_x(N) = g_x(N)
         for i in range(nh):
-            tVx[i, :] = 2.0 * (XN_ref[i, :] - XrN_ref[i, :])
+            if custom_upper:
+                tVx[i, :] = gXN_ref[i, :]
+            else:
+                tVx[i, :] = 2.0 * (XN_ref[i, :] - XrN_ref[i, :])
             for j in range(nh):
                 Vxx[i * nh + j, :] = jnp.where(i == j, C_ref[nh + m + i, :], 0.0)
         LogS[0, :] = jnp.zeros_like(LogS[0, :])
@@ -83,7 +95,11 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
     us = [U_ref[0, a, :] for a in range(m)]
     bp = _bp_from_C(pb, C_ref)
     A, Bm = jac_rows(lambda xx, uu: pb.f_hat(xx, uu, bp), xs, tuple(us))
-    gx = [2.0 * (xs[i] - Xr_ref[0, i, :]) * inv_s for i in range(nh)]
+    if custom_upper:
+        gx = [gX_ref[0, i, :] * inv_s for i in range(nh)]
+        gu = [gU_ref[0, a, :] * inv_s for a in range(m)]
+    else:
+        gx = [2.0 * (xs[i] - Xr_ref[0, i, :]) * inv_s for i in range(nh)]
     vxx = [[Vxx[i * nh + j, :] for j in range(nh)] for i in range(nh)]
     tv = [tVx[i, :] for i in range(nh)]
 
@@ -95,7 +111,8 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
     Qux = [[sum(Bm[l][a] * VA[l][i] for l in range(nh)) for i in range(nh)] for a in range(m)]
     Quu = [[(C_ref[nh + a, :] * inv_s if a == b else 0.0) + sum(Bm[l][a] * VB[l][b] for l in range(nh))
             for b in range(m)] for a in range(m)]
-    tQu = [sum(Bm[l][a] * tv[l] for l in range(nh)) for a in range(m)]          # g_u = 0
+    tQu = [(gu[a] if custom_upper else 0.0) + sum(Bm[l][a] * tv[l] for l in range(nh))
+           for a in range(m)]
     tQx = [gx[i] + sum(A[l][i] * tv[l] for l in range(nh)) for i in range(nh)]
     regs = reg * inv_s
 
@@ -152,8 +169,23 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
     LogS[0, :] = LogS[0, :] - jnp.log(jnp.maximum(scale_inv, jnp.finfo(scale_inv.dtype).tiny))
 
 
-def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
+def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, emit_ref_grads: bool,
+                 *refs):
+    """Forward δ-rollout + gradient accumulation. emit_ref_grads additionally emits
+    the per-step REFERENCE-COTANGENTS of the tracking cost — g_Xref_k = -2Q ⊙ δx_k,
+    g_Uref_k = -2R ⊙ δv_k, terminal -2Qf ⊙ δx_N — i.e. ∂L/∂(X_ref, U_ref) by the
+    IFT accumulation, which the coupled bilevel chain feeds to the NOMINAL sweep as
+    its upper gradients (reference ``tube_mpc.py:505-559``)."""
     nh, m = pb.n_hat, pb.m
+    refs = list(refs)
+    if generic and emit_ref_grads:
+        # kernel ref order is (*ins, *outs, *scratches): the dx scratch is LAST,
+        # the three ref-cotangent outputs sit just before it
+        dx_scratch = refs.pop()
+        gxrN_out = refs.pop()     # [nh, B] terminal ref-cotangent (fixed block)
+        gur_out = refs.pop()      # [1, m, B] at k
+        gxr_out = refs.pop()      # [1, nh, B] at k
+        refs.append(dx_scratch)
     if generic:
         (K_ref, kff_ref, X_ref, Xr_ref, U_ref, Ur_ref, C_ref, XN_ref, XrN_ref,
          tVx_ref, Vxx_ref, LogS_ref,
@@ -172,6 +204,8 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
         if generic:
             gxt_out[:, :] = jnp.zeros_like(gxt_out)
             gdyn_out[:, :] = jnp.zeros_like(gdyn_out)
+        if generic and emit_ref_grads:
+            gxrN_out[:, :] = jnp.zeros_like(gxrN_out)
 
     K = [[K_ref[0, a * nh + i, :] for i in range(nh)] for a in range(m)]
     kf = [kff_ref[0, a, :] for a in range(m)]
@@ -186,6 +220,12 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
         gx_out[i, :] += 2.0 * (xs[i] - Xr_ref[0, i, :]) * dx[i]
     for a in range(m):
         gr_out[a, :] += 2.0 * (us[a] - Ur_ref[0, a, :]) * dv[a]
+    if generic and emit_ref_grads:
+        # C rows store the DOUBLED weights (2Q, 2R): g_Xref = -2Q δx, g_Uref = -2R δv
+        for i in range(nh):
+            gxr_out[0, i, :] = -C_ref[i, :] * dx[i]
+        for a in range(m):
+            gur_out[0, a, :] = -C_ref[nh + a, :] * dv[a]
 
     # delta_x+ = A dx + B dv as ONE fused JVP of the augmented step — no Jacobian
     # arrays materialized (A/B fed only these sweeps; see lane_solver._ric_kernel).
@@ -207,13 +247,15 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
         ]
         one = jnp.ones_like(bp.alpha)
 
-        def f_of_bp(a, g):
-            return pb.f_hat(xs, us, BarrierParams(alpha=a, gamma=g, tight=bp.tight))
+        def f_of_bp(a, g, t):
+            return pb.f_hat(xs, us, BarrierParams(alpha=a, gamma=g, tight=t))
 
-        _, f_a = jax.jvp(lambda a: f_of_bp(a, bp.gamma), (bp.alpha,), (one,))
-        _, f_g = jax.jvp(lambda g: f_of_bp(bp.alpha, g), (bp.gamma,), (one,))
+        _, f_a = jax.jvp(lambda a: f_of_bp(a, bp.gamma, bp.tight), (bp.alpha,), (one,))
+        _, f_g = jax.jvp(lambda g: f_of_bp(bp.alpha, g, bp.tight), (bp.gamma,), (one,))
+        _, f_t = jax.jvp(lambda t: f_of_bp(bp.alpha, bp.gamma, t), (bp.tight,), (one,))
         gdyn_out[0, :] += sum(dlam[i] * f_a[i] for i in range(nh))
         gdyn_out[1, :] += sum(dlam[i] * f_g[i] for i in range(nh))
+        gdyn_out[2, :] += sum(dlam[i] * f_t[i] for i in range(nh))
 
     @pl.when(kidx == n_steps - 1)
     def _terminal():
@@ -222,6 +264,9 @@ def _sfwd_kernel(pb: LaneProblem, n_steps: int, generic: bool, *refs):
             # of dL/dq_b (stage part accumulates in gx_out)
             for i in range(nh):
                 gxt_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
+            if emit_ref_grads:
+                for i in range(nh):
+                    gxrN_out[i, :] += -C_ref[nh + m + i, :] * dx_next[i]
         else:
             for i in range(nh):
                 gx_out[i, :] += 2.0 * (XN_ref[i, :] - XrN_ref[i, :]) * dx_next[i]
@@ -240,6 +285,9 @@ def lane_sensitivity_grads(
     block_b: int = 4096,
     interpret: bool = False,
     generic: bool = False,
+    emit_ref_grads: bool = False,
+    upper_gx: Array = None,    # [N+1, n̂, B] custom upper-gradient rows (else tube L)
+    upper_gu: Array = None,    # [N, m, B]
 ):
     """Fused delta-z sweep + closed-form weight gradients, lane-major.
 
@@ -280,6 +328,11 @@ def lane_sensitivity_grads(
     kb_rev = lambda b, k: (N - 1 - k, 0, b)
     fixed = lambda b, k: (0, b)
 
+    custom_upper = upper_gx is not None
+    if custom_upper:
+        upper_gx = _pad_lanes(upper_gx, B_pad)
+        upper_gu = _pad_lanes(upper_gu, B_pad)
+
     bwd_out_specs = [
         pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
@@ -300,17 +353,29 @@ def lane_sensitivity_grads(
             jax.ShapeDtypeStruct((N, 1, B_pad), dtype),
         ]
 
+    bwd_in_specs = [
+        pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
+        pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
+        pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
+        pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
+        pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+    ]
+    bwd_args = [U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1]]
+    if custom_upper:
+        # custom rows are popped FIRST in the kernel, so they lead the arg list
+        bwd_in_specs = [
+            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # gX[:N]
+            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # gU
+            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # gX[N]
+        ] + bwd_in_specs
+        bwd_args = [upper_gx[:-1], upper_gu, upper_gx[-1]] + bwd_args
+
     sbwd = pl.pallas_call(
-        functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol), generic),
+        functools.partial(_sbwd_kernel, pb, float(reg), float(active_tol), generic,
+                          custom_upper),
         grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
-            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
-            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X[N]
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
-        ],
+        in_specs=bwd_in_specs,
         out_specs=bwd_out_specs,
         out_shape=bwd_out_shape,
         scratch_shapes=[
@@ -320,7 +385,7 @@ def lane_sensitivity_grads(
         ],
         interpret=interpret,
     )
-    bwd_out = sbwd(U, X[:-1], X_ref[:-1], C, X[-1], X_ref[-1])
+    bwd_out = sbwd(*bwd_args)
     if generic:
         K, kff, tVx_seq, Vxx_seq, LogS_seq = bwd_out
     else:
@@ -354,16 +419,27 @@ def lane_sensitivity_grads(
         ]
         fwd_out_specs += [
             pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # terminal split
-            pl.BlockSpec((2, Bt), fixed, memory_space=pltpu.VMEM),        # (gα, gγ)
+            pl.BlockSpec((3, Bt), fixed, memory_space=pltpu.VMEM),        # (gα, gγ, gtight)
         ]
         fwd_out_shape += [
             jax.ShapeDtypeStruct((nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((2, B_pad), dtype),
+            jax.ShapeDtypeStruct((3, B_pad), dtype),
         ]
         fwd_args += [tVx_seq, Vxx_seq, LogS_seq]
+        if emit_ref_grads:
+            fwd_out_specs += [
+                pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),   # g_Xref[:N]
+                pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),    # g_Uref
+                pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),   # g_Xref[N]
+            ]
+            fwd_out_shape += [
+                jax.ShapeDtypeStruct((N, nh, B_pad), dtype),
+                jax.ShapeDtypeStruct((N, m, B_pad), dtype),
+                jax.ShapeDtypeStruct((nh, B_pad), dtype),
+            ]
 
     sfwd = pl.pallas_call(
-        functools.partial(_sfwd_kernel, pb, N, generic),
+        functools.partial(_sfwd_kernel, pb, N, generic, generic and emit_ref_grads),
         grid=(nb, N),
         in_specs=fwd_in_specs,
         out_specs=fwd_out_specs,
@@ -372,6 +448,10 @@ def lane_sensitivity_grads(
         interpret=interpret,
     )
     out = sfwd(*fwd_args)
+    if generic and emit_ref_grads:
+        gx, gr, gxt, gdyn, gxr, gur, gxrN = out
+        return (gx[..., :B], gr[..., :B], gxt[..., :B], gdyn[..., :B],
+                gxr[..., :B], gur[..., :B], gxrN[..., :B])
     if generic:
         gx, gr, gxt, gdyn = out
         return gx[..., :B], gr[..., :B], gxt[..., :B], gdyn[..., :B]

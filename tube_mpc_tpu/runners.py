@@ -50,10 +50,6 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
     if engine == "lanes":
-        if cfg.adaptation.adapt_nominal:
-            raise ValueError("engine='lanes' covers the paper path and the uncoupled "
-                             "generic path; the coupled bilevel chain "
-                             "(adapt_nominal: true) runs on the XLA engine")
         if not paper_mode and cfg.adaptation.steps != 1:
             raise ValueError("engine='lanes' generic path supports adaptation.steps=1")
         if checkpoint_every and not paper_mode:

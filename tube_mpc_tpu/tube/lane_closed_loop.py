@@ -32,6 +32,7 @@ from .lane_interface import (
     tube_ilqr_solve_lanes,
     tube_sensitivity_grads_lanes,
     tube_sensitivity_grads_lanes_generic,
+    tube_sensitivity_grads_lanes_nominal_coupled,
 )
 from .params import (
     AuxAdapt,
@@ -239,6 +240,8 @@ class GenericLaneState(NamedTuple):
     U_aux_ws: Array  # [B, N, nu]
     raw_aux: RawAuxTheta   # [B, ...] leaves
     vel_aux: RawAuxTheta
+    raw_nom: RawNominalTheta  # [B, ...] leaves (fixed when not adapt_nominal)
+    vel_nom: RawNominalTheta
 
 
 def _raw_chain(raw: RawAuxTheta, g) -> RawAuxTheta:
@@ -254,6 +257,21 @@ def _raw_chain(raw: RawAuxTheta, g) -> RawAuxTheta:
         qb_raw=g.qb * sg(raw.qb_raw),
         alpha_raw=g.alpha * sg(raw.alpha_raw),
         gamma_raw=g.gamma * (1.0 - th * th),
+    )
+
+
+def _raw_chain_nom(raw: RawNominalTheta, g) -> RawNominalTheta:
+    """Nominal-side chain rule (adds tight: softplus')."""
+    sg = jax.nn.sigmoid
+    th = jnp.tanh(raw.gamma_raw)
+    return RawNominalTheta(
+        Q_raw=g.Q * sg(raw.Q_raw),
+        R_raw=g.R * sg(raw.R_raw),
+        Qf_raw=g.Qf * sg(raw.Qf_raw),
+        qb_raw=g.qb * sg(raw.qb_raw),
+        alpha_raw=g.alpha * sg(raw.alpha_raw),
+        gamma_raw=g.gamma * (1.0 - th * th),
+        tight_raw=g.tight * sg(raw.tight_raw),
     )
 
 
@@ -286,14 +304,20 @@ def run_generic_closed_loop_lanes(
     full IFT gradient (weights + barrier dynamics parameters) computed by the
     generic lane sensitivity kernels.
 
-    Returns (log [B, H, ...], final raw_aux).
+    With cfg.adapt_nominal=True the COUPLED bilevel chain runs fully on the lane
+    kernels: the aux sensitivity additionally emits ∂L/∂(X_ref, U_ref) (the
+    reference-cotangents of the tracking cost), a second sweep on the nominal
+    problem consumes them as upper gradients and accumulates the full θ̄ gradient
+    (weights + α/γ/tight dynamics terms), and both raw parameter sets update by
+    projected momentum — the reference's hand-wired chain of
+    ``tube_mpc.py:505-599``, per lane. cfg.coupling="full" adds the explicit
+    ∂L/∂x̄ term (capability beyond the reference).
+
+    Returns (log [B, H, ...], (final raw_aux, final raw_nom)).
     """
     if cfg.adapt.steps != 1:
         raise NotImplementedError("lanes generic engine supports adapt.steps == 1")
-    if cfg.adapt_nominal:
-        raise NotImplementedError("lanes generic engine is the uncoupled path "
-                                  "(adapt_nominal=False); use the XLA path for the "
-                                  "coupled bilevel chain")
+    adapt_nominal = cfg.adapt_nominal
     nx, nu = system.nx, system.nu
     N, H = cfg.N, cfg.H
 
@@ -311,11 +335,7 @@ def run_generic_closed_loop_lanes(
     nom_cfg = cfg.nominal_ilqr()
     aux_cfg = cfg.aux_ilqr()
 
-    # fixed nominal parameters (mapped once)
-    w_nom = CostWeights(Q=raw_nom.Q(), R=raw_nom.R(), Qf=raw_nom.Qf(), qb=raw_nom.qb())
-    bp_nom = BarrierParams(alpha=raw_nom.alpha(), gamma=raw_nom.gamma(), tight=raw_nom.tight())
-
-    # per-lane raw ancillary params
+    # per-lane raws (nominal broadcast too so the coupled path can adapt per lane)
     def _bcast(v, d):
         v = jnp.asarray(v, dtype=dtype)
         return jnp.broadcast_to(v, (B,) + v.shape[-1:]) if d else jnp.broadcast_to(v, (B,))
@@ -328,11 +348,22 @@ def run_generic_closed_loop_lanes(
         alpha_raw=_bcast(raw_aux_init.alpha_raw, False),
         gamma_raw=_bcast(raw_aux_init.gamma_raw, False),
     )
+    raw_nom_init = RawNominalTheta(
+        Q_raw=_bcast(raw_nom.Q_raw, True),
+        R_raw=_bcast(raw_nom.R_raw, True),
+        Qf_raw=_bcast(raw_nom.Qf_raw, True),
+        qb_raw=_bcast(raw_nom.qb_raw, False),
+        alpha_raw=_bcast(raw_nom.alpha_raw, False),
+        gamma_raw=_bcast(raw_nom.gamma_raw, False),
+        tight_raw=_bcast(raw_nom.tight_raw, False),
+    )
 
     zero_t = jnp.zeros((B,), dtype=dtype)
     bp_aux0 = BarrierParams(alpha=raw_aux_init.alpha(), gamma=raw_aux_init.gamma(), tight=zero_t)
     b0 = aug.init_b0(x0, bp_aux0)
-    b_bar0 = aug.init_b0(x0, bp_nom)
+    bp_nom0 = BarrierParams(alpha=raw_nom_init.alpha(), gamma=raw_nom_init.gamma(),
+                            tight=raw_nom_init.tight())
+    b_bar0 = aug.init_b0(x0, bp_nom0)
     if b_bar0.ndim == 0:
         b_bar0 = jnp.broadcast_to(b_bar0, (B,))
 
@@ -342,8 +373,11 @@ def run_generic_closed_loop_lanes(
 
     def step(state: GenericLaneState, w_t):
         raw = state.raw_aux
+        rawn = state.raw_nom
         w_aux = CostWeights(Q=raw.Q(), R=raw.R(), Qf=raw.Qf(), qb=raw.qb())
         bp_aux = BarrierParams(alpha=raw.alpha(), gamma=raw.gamma(), tight=zero_t)
+        w_nom = CostWeights(Q=rawn.Q(), R=rawn.R(), Qf=rawn.Qf(), qb=rawn.qb())
+        bp_nom = BarrierParams(alpha=rawn.alpha(), gamma=rawn.gamma(), tight=rawn.tight())
 
         x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
         X_nom, U_nom = tube_ilqr_solve_lanes(
@@ -366,27 +400,58 @@ def run_generic_closed_loop_lanes(
         db = X_aux[..., nx]
         L = jnp.sum(dx * dx, axis=(-2, -1)) + jnp.sum(db * db, axis=-1)
 
-        g = tube_sensitivity_grads_lanes_generic(
+        aux_out = tube_sensitivity_grads_lanes_generic(
             pb, w=w_aux, bp=bp_aux,
             X_hat=X_aux, U=U_aux, X_ref=X_ref, U_ref=U_nom,
             reg=1e-9, block_b=block_b, interpret=interpret,
+            emit_ref_grads=adapt_nominal,
         )
+        if adapt_nominal:
+            g, g_Xref, g_Uref = aux_out
+            if cfg.coupling == "full":
+                # explicit ∂L/∂x̄ = -2 (x* - x̄) on the physical rows (the reference's
+                # chain stops at the aux problem's cost dependence; this term makes
+                # the bilevel gradient exact — tube/closed_loop.py coupling="full")
+                expl = jnp.concatenate(
+                    [-2.0 * dx, jnp.zeros((B, N + 1, 1), dtype=dtype)], axis=-1)
+                g_Xref = g_Xref + expl
+            gn = tube_sensitivity_grads_lanes_nominal_coupled(
+                pb, w=w_nom, bp=bp_nom,
+                X_hat=X_nom, U=U_nom, target=target,
+                upper_gX=g_Xref, upper_gU=g_Uref,
+                reg=1e-9, block_b=block_b, interpret=interpret,
+            )
+            gn_raw = _raw_chain_nom(rawn, gn)
+        else:
+            g = aux_out
         g_raw = _raw_chain(raw, g)
         # fault isolation: lanes with non-finite gradients skip this update
         # (see run_paper_closed_loop_lanes)
         ok = jnp.isfinite(L)
         for leaf in g_raw:
             ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
+        if adapt_nominal:
+            for leaf in gn_raw:
+                ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
         g_raw = jax.tree.map(
             lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), g_raw)
 
         raw_new, vel_new = momentum_update(raw, g_raw, state.vel_aux, cfg.adapt, project_raw)
+        if adapt_nominal:
+            gn_raw = jax.tree.map(
+                lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), gn_raw)
+            rawn_new, veln_new = momentum_update(
+                rawn, gn_raw, state.vel_nom, cfg.adapt, project_raw)
+        else:
+            rawn_new, veln_new = rawn, state.vel_nom
 
         bp_aux_post = BarrierParams(alpha=raw_new.alpha(), gamma=raw_new.gamma(), tight=zero_t)
+        bp_nom_post = BarrierParams(alpha=rawn_new.alpha(), gamma=rawn_new.gamma(),
+                                    tight=rawn_new.tight())
         u = U_aux[:, 0]
         x_hat_next = aug.f_hat(x_hat, u, bp_aux_post)
         u_bar = U_nom[:, 0]
-        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp_nom)
+        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp_nom_post)
 
         new_state = GenericLaneState(
             x=x_hat_next[..., :nx] + w_t,
@@ -397,6 +462,8 @@ def run_generic_closed_loop_lanes(
             U_aux_ws=jnp.concatenate([U_aux[:, 1:], U_aux[:, -1:]], axis=1),
             raw_aux=raw_new,
             vel_aux=vel_new,
+            raw_nom=rawn_new,
+            vel_nom=veln_new,
         )
         log = (state.x, u, state.x_bar, u_bar, state.b, L,
                raw_new.Q(), raw_new.R(), raw_new.qb())
@@ -408,7 +475,9 @@ def run_generic_closed_loop_lanes(
         U_aux_ws=jnp.zeros((B, N, nu), dtype=dtype),
         raw_aux=raw_aux_init,
         vel_aux=jax.tree.map(jnp.zeros_like, raw_aux_init),
+        raw_nom=raw_nom_init,
+        vel_nom=jax.tree.map(jnp.zeros_like, raw_nom_init),
     )
     final, logs = jax.lax.scan(step, init, w_tm)
     logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)
-    return ClosedLoopLog(*logs), final.raw_aux
+    return ClosedLoopLog(*logs), (final.raw_aux, final.raw_nom)

@@ -187,6 +187,19 @@ class GenericAuxGrads(NamedTuple):
     gamma: Array  # [B]
 
 
+class GenericNominalGrads(NamedTuple):
+    """Per-lane coupled-bilevel gradients w.r.t. the MAPPED nominal parameters
+    θ̄ = (Q, R, Qf, qb, α, γ, tight)."""
+
+    Q: Array
+    R: Array
+    Qf: Array
+    qb: Array
+    alpha: Array
+    gamma: Array
+    tight: Array
+
+
 def tube_sensitivity_grads_lanes_generic(
     pb: LaneProblem,
     *,
@@ -200,11 +213,17 @@ def tube_sensitivity_grads_lanes_generic(
     active_tol: float = 1e-8,
     block_b: int = 4096,
     interpret: bool = False,
-) -> GenericAuxGrads:
+    emit_ref_grads: bool = False,
+):
     """Generic-path IFT gradients on the fused lane kernels: full θ including the
     separate terminal Qf and the barrier DYNAMICS parameters (α, γ) via the
     Σ_k δλ_{k+1}ᵀ ∂f̂/∂θ term. Parity vs the XLA custom_vjp path is pinned in
-    tests/test_lane_generic.py."""
+    tests/test_lane_generic.py.
+
+    emit_ref_grads=True additionally returns (g_Xref [B, N+1, n̂], g_Uref [B, N, m])
+    — ∂L/∂(X_ref, U_ref) with the barrier row zeroed — the upper gradients the
+    coupled-bilevel chain feeds to the nominal sweep (g_Xref[N] already includes the
+    terminal Qf cotangent)."""
     from ..ops.pallas.lane_sensitivity import lane_sensitivity_grads
 
     B = U.shape[0]
@@ -213,16 +232,77 @@ def tube_sensitivity_grads_lanes_generic(
         [X_ref, jnp.zeros(X_ref.shape[:-1] + (1,), dtype=dtype)], axis=-1
     )
     C = _build_C(pb, w, bp, B, dtype)
-    gx, gr, gxt, gdyn = lane_sensitivity_grads(
+    out = lane_sensitivity_grads(
         pb, X=_rows(X_hat), U=_rows(U), X_ref=_rows(Xr_hat), U_ref=_rows(U_ref),
         C=C, reg=reg, active_tol=active_tol, block_b=block_b, interpret=interpret,
-        generic=True,
+        generic=True, emit_ref_grads=emit_ref_grads,
     )
-    return GenericAuxGrads(
+    if emit_ref_grads:
+        gx, gr, gxt, gdyn, gxr, gur, gxrN = out
+    else:
+        gx, gr, gxt, gdyn = out
+    grads = GenericAuxGrads(
         Q=_unrows(gx[: pb.n]),
         R=_unrows(gr),
         Qf=_unrows(gxt[: pb.n]),
         qb=gx[pb.n] + gxt[pb.n],
         alpha=gdyn[0],
         gamma=gdyn[1],
+    )
+    if not emit_ref_grads:
+        return grads
+    nh = pb.n_hat
+    # zero the barrier row (X_ref's barrier component is a structural 0, not a
+    # parameter the aux cost depends on) and assemble [B, N+1, n̂] incl. terminal
+    mask = jnp.asarray([1.0] * pb.n + [0.0], dtype=dtype)
+    g_Xref = jnp.concatenate(
+        [jnp.moveaxis(gxr, -1, 0),                 # [B, N, n̂]
+         jnp.moveaxis(gxrN, -1, 0)[:, None]],      # [B, 1, n̂]
+        axis=1,
+    ) * mask
+    g_Uref = jnp.moveaxis(gur, -1, 0)
+    return grads, g_Xref, g_Uref
+
+
+def tube_sensitivity_grads_lanes_nominal_coupled(
+    pb: LaneProblem,
+    *,
+    w: CostWeights,
+    bp: BarrierParams,
+    X_hat: Array,    # [B, N+1, n̂]  solved NOMINAL trajectory
+    U: Array,        # [B, N, m]
+    target: Array,   # [n] goal (the nominal stage tracks the fixed target)
+    upper_gX: Array,  # [B, N+1, n̂]  upper grads from the aux reference-cotangents
+    upper_gU: Array,  # [B, N, m]
+    reg: float = 1e-9,
+    active_tol: float = 1e-8,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> GenericNominalGrads:
+    """Coupled-bilevel nominal gradients: the δz sweep runs with CALLER-SUPPLIED
+    upper gradients (the aux solve's ∂L/∂(X_ref, U_ref)) instead of the tube upper
+    loss, then accumulates the full θ̄ gradient incl. the barrier dynamics
+    parameters AND the nominal tightening (reference ``tube_mpc.py:505-599``)."""
+    from ..ops.pallas.lane_sensitivity import lane_sensitivity_grads
+
+    B, N, m_ = U.shape
+    dtype = U.dtype
+    Xr = jnp.broadcast_to(target[None, None], (B, N + 1, pb.n))
+    Xr_hat = jnp.concatenate([Xr, jnp.zeros((B, N + 1, 1), dtype=dtype)], axis=-1)
+    Ur = jnp.zeros((B, N, m_), dtype=dtype)
+    C = _build_C(pb, w, bp, B, dtype)
+    gx, gr, gxt, gdyn = lane_sensitivity_grads(
+        pb, X=_rows(X_hat), U=_rows(U), X_ref=_rows(Xr_hat), U_ref=_rows(Ur),
+        C=C, reg=reg, active_tol=active_tol, block_b=block_b, interpret=interpret,
+        generic=True,
+        upper_gx=_rows(upper_gX), upper_gu=_rows(upper_gU),
+    )
+    return GenericNominalGrads(
+        Q=_unrows(gx[: pb.n]),
+        R=_unrows(gr),
+        Qf=_unrows(gxt[: pb.n]),
+        qb=gx[pb.n] + gxt[pb.n],
+        alpha=gdyn[0],
+        gamma=gdyn[1],
+        tight=gdyn[2],
     )
