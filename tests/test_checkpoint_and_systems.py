@@ -190,3 +190,107 @@ class TestLaneCheckpoint:
                                    rtol=1e-9, atol=1e-11)
         np.testing.assert_allclose(np.asarray(full.Q_hist), np.asarray(mono.Q_hist),
                                    rtol=1e-9, atol=1e-11)
+
+    def test_lane_checkpoint_rejects_different_run(self, tmp_path):
+        """Resuming with a different disturbance stream must fail loudly, not
+        silently concatenate inconsistent logs (fingerprint via save_state extra=)."""
+        import pytest
+
+        from tube_mpc_tpu.ops.lanes import dubins_components
+        from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
+        from tube_mpc_tpu.utils.checkpoint import run_paper_closed_loop_lanes_checkpointed
+
+        s = dubins_paper_setup(N=5, H=4, dtype=F64, nominal_max_iter=2, aux_max_iter=2,
+                               alphas=(1.0, 0.0))
+        sys_c = dubins_components(
+            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+            centers=PAPER_OBSTACLES, radii=[1.0] * 5, aggregation="smoothmin", beta=20.0,
+        )
+        B = 2
+        kw = dict(w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+                  x0=s.x0, target=s.target, eps=1e-4, block_b=128, interpret=True)
+        d = str(tmp_path / "ck")
+        w1 = s.system.sample_disturbance(jax.random.PRNGKey(0), (B, s.cfg.H), dtype=F64)
+        run_paper_closed_loop_lanes_checkpointed(
+            s.system, s.aug, sys_c, s.cfg, ckpt_dir=d, segment_len=2, w_seqs=w1, **kw)
+        w2 = s.system.sample_disturbance(jax.random.PRNGKey(9), (B, s.cfg.H), dtype=F64)
+        with pytest.raises(ValueError, match="different run"):
+            run_paper_closed_loop_lanes_checkpointed(
+                s.system, s.aug, sys_c, s.cfg, ckpt_dir=d, segment_len=2, w_seqs=w2, **kw)
+
+    def test_generic_lane_checkpoint_resume_bit_exact(self, tmp_path):
+        """Generic/coupled lane-engine checkpointing (both raw θ sets + momentum in
+        the carry): crash after segment 1, resume, match the monolithic run."""
+        import os
+
+        from tube_mpc_tpu.ops.lanes import dubins_components
+        from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
+        from tube_mpc_tpu.tube.closed_loop import TubeMPCConfig
+        from tube_mpc_tpu.tube.lane_closed_loop import run_generic_closed_loop_lanes
+        from tube_mpc_tpu.tube.params import AdaptConfig, RawAuxTheta, RawNominalTheta
+        from tube_mpc_tpu.utils.checkpoint import (
+            latest_checkpoint,
+            run_generic_closed_loop_lanes_checkpointed,
+        )
+
+        s = dubins_paper_setup(N=5, H=5, dtype=F64)
+        sys_c = dubins_components(
+            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+            centers=PAPER_OBSTACLES, radii=[1.0] * 5, aggregation="smoothmin", beta=20.0,
+        )
+        cfg = TubeMPCConfig(
+            N=5, H=5, nominal_max_iter=3, aux_max_iter=3, tol=1e-6, reg=1e-6,
+            alphas=(1.0, 0.5, 0.0),
+            adapt=AdaptConfig(lr=5e-2, momentum=0.9, steps=1, project=True),
+            adapt_nominal=True, adapt_ancillary=True,
+        )
+        raw_nom = RawNominalTheta(
+            Q_raw=jnp.asarray([1.0, 1.0, 0.0], dtype=F64),
+            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+            Qf_raw=jnp.asarray([100.0] * 3, dtype=F64),
+            qb_raw=jnp.asarray(1.0, dtype=F64),
+            alpha_raw=jnp.asarray(0.01, dtype=F64),
+            gamma_raw=jnp.asarray(0.1, dtype=F64),
+            tight_raw=jnp.asarray(0.02, dtype=F64),
+        )
+        raw_aux = RawAuxTheta(
+            Q_raw=jnp.asarray([1.0, 1.0, 0.5], dtype=F64),
+            R_raw=jnp.asarray([1.0, 1.0], dtype=F64),
+            Qf_raw=jnp.asarray([2.0, 2.0, 1.0], dtype=F64),
+            qb_raw=jnp.asarray(1.0, dtype=F64),
+            alpha_raw=jnp.asarray(0.5, dtype=F64),
+            gamma_raw=jnp.asarray(0.2, dtype=F64),
+        )
+        B = 2
+        w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(7), (B, cfg.H), dtype=F64)
+        kw = dict(raw_nom=raw_nom, raw_aux_init=raw_aux, x0=s.x0, target=s.target,
+                  w_seqs=w_seqs, eps=1e-4, block_b=128, interpret=True)
+
+        mono, (mono_aux, mono_nom) = run_generic_closed_loop_lanes(
+            s.system, s.aug, sys_c, cfg, **kw)
+
+        d1 = str(tmp_path / "ck")
+        full, (full_aux, full_nom) = run_generic_closed_loop_lanes_checkpointed(
+            s.system, s.aug, sys_c, cfg, ckpt_dir=d1, segment_len=2, **kw)
+        for t in (4, 5):
+            for p in (f"state_{t}.npz", f"logs_{t}.npz"):
+                f = os.path.join(d1, p)
+                if os.path.exists(f):
+                    os.remove(f)
+        assert latest_checkpoint(d1).endswith("state_2.npz")
+        resumed, (res_aux, res_nom) = run_generic_closed_loop_lanes_checkpointed(
+            s.system, s.aug, sys_c, cfg, ckpt_dir=d1, segment_len=2, **kw)
+
+        for f in ClosedLoopLog._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(resumed, f)), np.asarray(getattr(full, f)), err_msg=f)
+        for a, b in ((res_aux, full_aux), (res_nom, full_nom)):
+            for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+        # segmented vs monolithic: same scan body, ulp-level agreement (θ̄ moved too)
+        np.testing.assert_allclose(np.asarray(full.u_real), np.asarray(mono.u_real),
+                                   rtol=1e-9, atol=1e-11)
+        np.testing.assert_allclose(np.asarray(full.x_bar), np.asarray(mono.x_bar),
+                                   rtol=1e-9, atol=1e-11)
+        for la, lb in zip(jax.tree.leaves(full_nom), jax.tree.leaves(mono_nom)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-9, atol=1e-11)

@@ -106,6 +106,81 @@ def test_generic_lane_adapts_barrier_params():
     assert np.max(np.abs(np.asarray(raw_final.gamma_raw) - float(raw_aux.gamma_raw))) > 0
 
 
+def test_generic_lane_steps2_matches_xla_driver():
+    """adaptation.steps=2 (the reference's inner fixed-trajectory re-gradient loop,
+    tube_mpc.py:407-604) on the lane kernels vs the XLA make_ift_regrad driver —
+    iteration 2 reruns the sensitivity kernels with the UPDATED θ Hessians and
+    barrier params on the same trajectories; θ histories pin the whole loop."""
+    import dataclasses
+
+    s, sys_c, cfg, raw_nom, raw_aux, x0 = _setup(N=6, H=4)
+    cfg = dataclasses.replace(
+        cfg, adapt=dataclasses.replace(cfg.adapt, steps=2))
+    B = 2
+    eps = 1e-4
+    w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(4), (B, cfg.H), dtype=F64)
+
+    lane, (raw_final, _) = run_generic_closed_loop_lanes(
+        s.system, s.aug, sys_c, cfg,
+        raw_nom=raw_nom, raw_aux_init=raw_aux,
+        x0=x0, target=s.target, w_seqs=w_seqs,
+        eps=eps, block_b=128, interpret=True,
+    )
+
+    from tube_mpc_tpu.ops.dbas import make_augmented
+    aug = make_augmented(s.system, barrier_type="inverse", eps=eps)
+    per_sample = jax.vmap(
+        lambda w: run_generic_closed_loop(
+            s.system, aug, cfg,
+            raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+            x0=x0, target=s.target, w_seq=w,
+        )[0]
+    )(w_seqs)
+
+    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.x_real), np.asarray(per_sample.x_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.Q_hist), np.asarray(per_sample.Q_hist), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lane.R_hist), np.asarray(per_sample.R_hist), rtol=1e-7, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(lane.qb_hist), np.asarray(per_sample.qb_hist), rtol=1e-7, atol=1e-10)
+    assert np.all(np.isfinite(np.asarray(raw_final.alpha_raw)))
+
+
+def test_coupled_steps2_lane_closed_loop_matches_xla_driver():
+    """steps=2 WITH the coupled bilevel chain: both raw parameter sets re-gradient
+    at fixed trajectories per inner iteration."""
+    import dataclasses
+
+    s, sys_c, cfg, raw_nom, raw_aux, x0 = _setup(N=6, H=3)
+    cfg = dataclasses.replace(
+        cfg, adapt_nominal=True, nominal_max_iter=3, aux_max_iter=3,
+        adapt=dataclasses.replace(cfg.adapt, steps=2))
+    B = 2
+    eps = 1e-4
+    w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(5), (B, cfg.H), dtype=F64)
+
+    lane, (_, raw_nom_f) = run_generic_closed_loop_lanes(
+        s.system, s.aug, sys_c, cfg,
+        raw_nom=raw_nom, raw_aux_init=raw_aux,
+        x0=x0, target=s.target, w_seqs=w_seqs,
+        eps=eps, block_b=128, interpret=True,
+    )
+
+    from tube_mpc_tpu.ops.dbas import make_augmented
+    aug = make_augmented(s.system, barrier_type="inverse", eps=eps)
+    per_sample = jax.vmap(
+        lambda w: run_generic_closed_loop(
+            s.system, aug, cfg,
+            raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+            x0=x0, target=s.target, w_seq=w,
+        )[0]
+    )(w_seqs)
+
+    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.x_bar), np.asarray(per_sample.x_bar), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.Q_hist), np.asarray(per_sample.Q_hist), rtol=1e-7, atol=1e-10)
+    assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0
+
+
 def test_coupled_lane_closed_loop_matches_xla_driver():
     """COUPLED bilevel (adapt_nominal=True) on the lane kernels vs the XLA
     custom_vjp driver: the aux sweep's reference-cotangents feed a second nominal
@@ -146,3 +221,42 @@ def test_coupled_lane_closed_loop_matches_xla_driver():
     # θ̄ actually moved
     assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0
     assert np.max(np.abs(np.asarray(raw_nom_f.tight_raw) - float(raw_nom.tight_raw))) > 0
+
+
+def test_coupled_full_lane_closed_loop_matches_xla_driver():
+    """coupling="full" (explicit ∂L/∂x̄ term added to the reference-cotangents) on
+    the lane kernels vs the XLA driver — pins the sign/placement of the `expl`
+    term in lane_closed_loop.py, which no other test exercises on the lane path."""
+    import dataclasses
+
+    s, sys_c, cfg, raw_nom, raw_aux, x0 = _setup(N=6, H=4)
+    cfg = dataclasses.replace(cfg, adapt_nominal=True, coupling="full",
+                              nominal_max_iter=3, aux_max_iter=3)
+    B = 2
+    eps = 1e-4
+    w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(3), (B, cfg.H), dtype=F64)
+
+    lane, (_raw_aux_f, raw_nom_f) = run_generic_closed_loop_lanes(
+        s.system, s.aug, sys_c, cfg,
+        raw_nom=raw_nom, raw_aux_init=raw_aux,
+        x0=x0, target=s.target, w_seqs=w_seqs,
+        eps=eps, block_b=128, interpret=True,
+    )
+
+    from tube_mpc_tpu.ops.dbas import make_augmented
+    aug = make_augmented(s.system, barrier_type="inverse", eps=eps)
+    per_sample = jax.vmap(
+        lambda w: run_generic_closed_loop(
+            s.system, aug, cfg,
+            raw_nom_init=raw_nom, raw_aux_init=raw_aux,
+            x0=x0, target=s.target, w_seq=w,
+        )[0]
+    )(w_seqs)
+
+    np.testing.assert_allclose(np.asarray(lane.u_real), np.asarray(per_sample.u_real), rtol=1e-7, atol=1e-8)
+    # θ̄ histories diverge from coupling="reference" if and only if the expl term
+    # lands with the right sign on the right rows — x_bar/u_bar pin it
+    np.testing.assert_allclose(np.asarray(lane.x_bar), np.asarray(per_sample.x_bar), rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(lane.u_bar), np.asarray(per_sample.u_bar), rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(lane.Q_hist), np.asarray(per_sample.Q_hist), rtol=1e-7, atol=1e-10)
+    assert np.max(np.abs(np.asarray(raw_nom_f.Q_raw) - np.asarray(raw_nom.Q_raw))) > 0

@@ -28,6 +28,12 @@ def range_guard_default(dtype) -> bool:
     ``torch.linalg.solve`` semantics (plain LU, no resolve-or-zero guard), because the
     reference solves degenerate Q_uu and lets the line search reject garbage
     (``/root/reference/core/ddp.py:243-244``). Static at trace time.
+
+    Caveat: the dispatch reads ``jax.default_backend()`` at TRACE time, not the
+    device the computation is ultimately committed to — a CPU-committed f64 solve
+    inside a TPU-default process would take the scale-invariant guard path. Oracle
+    runs must therefore force ``JAX_PLATFORMS=cpu`` process-wide (all tools/ scripts
+    do), or pass ``range_guard`` explicitly at the call sites that accept it.
     """
     if jnp.dtype(dtype) != jnp.dtype(jnp.float64):
         return True

@@ -39,10 +39,11 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     gains population statistics. batch=None/1 reproduces the single-trajectory
     reference behavior exactly.
 
-    checkpoint_every: paper mode, single trajectory only — execute the closed loop
-    in resumable segments of this many steps, persisting the full carry to
-    <run_dir>/ckpt (utils/checkpoint.py); a killed run re-launched with the same
-    run_dir resumes bit-exactly."""
+    checkpoint_every: execute the closed loop in resumable segments of this many
+    steps, persisting the full carry to <run_dir>/ckpt (utils/checkpoint.py); a
+    killed run re-launched with the same run_dir resumes bit-exactly. Covered:
+    XLA paper single-trajectory, and every lane-engine mode (paper / generic /
+    coupled, any batch)."""
     paper_mode = cfg.paper_dubins_mode and not cfg.adaptation.adapt_nominal
     built = build_experiment(cfg, paper_mode=paper_mode)
     key = jax.random.PRNGKey(cfg.seed)
@@ -50,10 +51,6 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
     if engine == "lanes":
-        if not paper_mode and cfg.adaptation.steps != 1:
-            raise ValueError("engine='lanes' generic path supports adaptation.steps=1")
-        if checkpoint_every and not paper_mode:
-            raise ValueError("engine='lanes' checkpointing covers the paper path")
         return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq,
                                      B=max(B, 1), paper_mode=paper_mode,
                                      checkpoint_every=checkpoint_every)
@@ -207,6 +204,11 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     if w_seq is not None and w_seq.ndim == 2:
         w_seq = w_seq[None]
 
+    # Mosaic kernels only compile for TPU; on a CPU backend (verification drives,
+    # virtual meshes) run the same kernels in interpret mode automatically.
+    interpret = jax.default_backend() == "cpu"
+    lane_kw = dict(interpret=interpret)
+
     t0 = time.perf_counter()
     if paper_mode and checkpoint_every:
         from .utils.checkpoint import run_paper_closed_loop_lanes_checkpointed
@@ -219,6 +221,7 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
             batch=None if w_seq is not None else B,
             ckpt_dir=f"{run_dir}/ckpt", segment_len=int(checkpoint_every),
             eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+            **lane_kw,
         )
     elif paper_mode:
         log = jax.jit(
@@ -229,6 +232,7 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
                 w_seqs=w_seq, key=None if w_seq is not None else k,
                 batch=None if w_seq is not None else B,
                 eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+                **lane_kw,
             )
         )(key)
     else:
@@ -252,6 +256,23 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
             alpha_raw=jnp.asarray(cfg.dbas.alpha, dtype=dtype),
             gamma_raw=jnp.asarray(cfg.dbas.gamma, dtype=dtype),
         )
+        if checkpoint_every:
+            from .utils.checkpoint import run_generic_closed_loop_lanes_checkpointed
+
+            log, _raw_final = run_generic_closed_loop_lanes_checkpointed(
+                built.system, built.aug, sys_c, built.tube_cfg,
+                raw_nom=raw_nom, raw_aux_init=raw_aux,
+                x0=built.x0, target=built.target,
+                w_seqs=w_seq, key=None if w_seq is not None else key,
+                batch=None if w_seq is not None else B,
+                ckpt_dir=f"{run_dir}/ckpt", segment_len=int(checkpoint_every),
+                eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+                **lane_kw,
+            )
+            jax.block_until_ready(log)
+            wall = time.perf_counter() - t0
+            return _finish_lanes(cfg, run_dir, log, wall, B=B,
+                                 paper_mode=paper_mode, forced_f32=forced_f32)
         log, _raw_final = jax.jit(
             lambda k: run_generic_closed_loop_lanes(
                 built.system, built.aug, sys_c, built.tube_cfg,
@@ -260,10 +281,18 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
                 w_seqs=w_seq, key=None if w_seq is not None else k,
                 batch=None if w_seq is not None else B,
                 eps=cfg.dbas.eps, barrier_type=cfg.dbas.barrier_type,
+                **lane_kw,
             )
         )(key)
     jax.block_until_ready(log)
     wall = time.perf_counter() - t0
+    return _finish_lanes(cfg, run_dir, log, wall, B=B,
+                         paper_mode=paper_mode, forced_f32=forced_f32)
+
+
+def _finish_lanes(cfg: ExperimentConfig, run_dir: str, log, wall: float, *,
+                  B: int, paper_mode: bool, forced_f32: bool) -> Dict[str, Any]:
+    import os
 
     if cfg.debug_numerics:
         check_finite_log(log)

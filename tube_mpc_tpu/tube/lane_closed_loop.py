@@ -16,7 +16,7 @@ Semantics per step match tube/closed_loop.run_paper_closed_loop.
 """
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -275,65 +275,162 @@ def _raw_chain_nom(raw: RawNominalTheta, g) -> RawNominalTheta:
     )
 
 
-def run_generic_closed_loop_lanes(
+def make_generic_lane_step(
     system: System,
     aug: AugmentedDynamics,
-    sys_c: ComponentSystem,
+    pb,
     cfg: TubeMPCConfig,
     *,
-    raw_nom: RawNominalTheta,      # fixed (uncoupled generic path)
-    raw_aux_init: RawAuxTheta,     # shared [d]-leaves or per-lane [B, d]
-    x0: Array,
     target: Array,
-    w_seqs: Optional[Array] = None,
-    key: Optional[Array] = None,
-    batch: Optional[int] = None,
-    eps: float = 1e-6,
-    barrier_type: str = "inverse",
+    B: int,
+    dtype,
     block_b: int = 4096,
     interpret: bool = False,
-) -> Tuple[ClosedLoopLog, RawAuxTheta]:
-    """Generic-path (raw-reparameterized θ, adaptive barrier α/γ) closed loop on the
-    fused lane kernels — the reference's ``run_closed_loop_experiment`` with
-    ``paper_dubins_mode: false, adapt_nominal: false`` (``tube_mpc.py:40-663``), B
-    lanes at once. Semantics per step match tube/closed_loop.run_generic_closed_loop
-    with adapt_nominal=False (parity-tested in tests/test_lane_generic.py).
+):
+    """Build the per-step generic/coupled lane scan body (shared by the monolithic
+    driver below and the segmented/checkpointed runner in utils/checkpoint.py).
 
-    The nominal problem uses the FIXED mapped θ̄ (incl. its barrier α/γ and
-    tightening); each lane's ancillary raw θ adapts by projected momentum on the
-    full IFT gradient (weights + barrier dynamics parameters) computed by the
-    generic lane sensitivity kernels.
-
-    With cfg.adapt_nominal=True the COUPLED bilevel chain runs fully on the lane
-    kernels: the aux sensitivity additionally emits ∂L/∂(X_ref, U_ref) (the
-    reference-cotangents of the tracking cost), a second sweep on the nominal
-    problem consumes them as upper gradients and accumulates the full θ̄ gradient
-    (weights + α/γ/tight dynamics terms), and both raw parameter sets update by
-    projected momentum — the reference's hand-wired chain of
-    ``tube_mpc.py:505-599``, per lane. cfg.coupling="full" adds the explicit
-    ∂L/∂x̄ term (capability beyond the reference).
-
-    Returns (log [B, H, ...], (final raw_aux, final raw_nom)).
+    cfg.adapt.steps > 1 runs the reference's inner adaptation loop
+    (``tube_mpc.py:407-604``): iterations 2..steps re-derive the IFT gradient at the
+    FIXED trajectories from this step's solves while θ moves — on the lane engine
+    that is simply re-running the sensitivity kernels with the updated θ Hessians
+    and barrier parameters on the same (X, U); the solves are not repeated. Static
+    Python loop, unrolled into the scan body.
     """
-    if cfg.adapt.steps != 1:
-        raise NotImplementedError("lanes generic engine supports adapt.steps == 1")
     adapt_nominal = cfg.adapt_nominal
     nx, nu = system.nx, system.nu
-    N, H = cfg.N, cfg.H
-
-    if w_seqs is None:
-        if key is None or batch is None:
-            raise ValueError("provide w_seqs or (key, batch)")
-        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
-    B = w_seqs.shape[0]
-    dtype = w_seqs.dtype
-
-    if x0.ndim == 1:
-        x0 = jnp.broadcast_to(x0, (B, nx))
-
-    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    N = cfg.N
     nom_cfg = cfg.nominal_ilqr()
     aux_cfg = cfg.aux_ilqr()
+    zero_t = jnp.zeros((B,), dtype=dtype)
+    X_ref_nom = jnp.broadcast_to(target[None, None], (B, N + 1, nx))
+    U_ref_nom = jnp.zeros((B, N, nu), dtype=dtype)
+
+    def step(state: GenericLaneState, w_t):
+        raw = state.raw_aux
+        rawn = state.raw_nom
+        w_aux = CostWeights(Q=raw.Q(), R=raw.R(), Qf=raw.Qf(), qb=raw.qb())
+        bp_aux = BarrierParams(alpha=raw.alpha(), gamma=raw.gamma(), tight=zero_t)
+        w_nom = CostWeights(Q=rawn.Q(), R=rawn.R(), Qf=rawn.Qf(), qb=rawn.qb())
+        bp_nom = BarrierParams(alpha=rawn.alpha(), gamma=rawn.gamma(), tight=rawn.tight())
+
+        x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
+        X_nom, U_nom = tube_ilqr_solve_lanes(
+            pb, nom_cfg, w=w_nom, bp=bp_nom,
+            x_hat0=x_hat_bar, U_init=state.U_nom_ws,
+            X_ref=X_ref_nom, U_ref=U_ref_nom,
+            block_b=block_b, interpret=interpret,
+        )
+        X_ref = X_nom[..., :nx]
+
+        x_hat = jnp.concatenate([state.x, state.b[:, None]], axis=-1)
+        X_aux, U_aux = tube_ilqr_solve_lanes(
+            pb, aux_cfg, w=w_aux, bp=bp_aux,
+            x_hat0=x_hat, U_init=state.U_aux_ws,
+            X_ref=X_ref, U_ref=U_nom,
+            block_b=block_b, interpret=interpret,
+        )
+
+        dx = X_aux[..., :nx] - X_ref
+        db = X_aux[..., nx]
+        L = jnp.sum(dx * dx, axis=(-2, -1)) + jnp.sum(db * db, axis=-1)
+
+        def grads_at(raw_i: RawAuxTheta, rawn_i: RawNominalTheta):
+            """Raw-space IFT gradient at the FIXED trajectories with θ = (raw_i,
+            rawn_i) — iteration 1 gets exactly the custom_vjp gradient; inner
+            iterations get the reference's fixed-trajectory re-gradient."""
+            w_aux_i = CostWeights(Q=raw_i.Q(), R=raw_i.R(), Qf=raw_i.Qf(), qb=raw_i.qb())
+            bp_aux_i = BarrierParams(alpha=raw_i.alpha(), gamma=raw_i.gamma(), tight=zero_t)
+            aux_out = tube_sensitivity_grads_lanes_generic(
+                pb, w=w_aux_i, bp=bp_aux_i,
+                X_hat=X_aux, U=U_aux, X_ref=X_ref, U_ref=U_nom,
+                reg=1e-9, block_b=block_b, interpret=interpret,
+                emit_ref_grads=adapt_nominal,
+            )
+            if not adapt_nominal:
+                return _raw_chain(raw_i, aux_out), None
+            g, g_Xref, g_Uref = aux_out
+            if cfg.coupling == "full":
+                # explicit ∂L/∂x̄ = -2 (x* - x̄) on the physical rows (the reference's
+                # chain stops at the aux problem's cost dependence; this term makes
+                # the bilevel gradient exact — tube/closed_loop.py coupling="full")
+                expl = jnp.concatenate(
+                    [-2.0 * dx, jnp.zeros((B, N + 1, 1), dtype=dtype)], axis=-1)
+                g_Xref = g_Xref + expl
+            w_nom_i = CostWeights(Q=rawn_i.Q(), R=rawn_i.R(), Qf=rawn_i.Qf(), qb=rawn_i.qb())
+            bp_nom_i = BarrierParams(alpha=rawn_i.alpha(), gamma=rawn_i.gamma(),
+                                     tight=rawn_i.tight())
+            gn = tube_sensitivity_grads_lanes_nominal_coupled(
+                pb, w=w_nom_i, bp=bp_nom_i,
+                X_hat=X_nom, U=U_nom, target=target,
+                upper_gX=g_Xref, upper_gU=g_Uref,
+                reg=1e-9, block_b=block_b, interpret=interpret,
+            )
+            return _raw_chain(raw_i, g), _raw_chain_nom(rawn_i, gn)
+
+        def _mask(tree, ok):
+            return jax.tree.map(
+                lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), tree)
+
+        raw_new, vel_new = raw, state.vel_aux
+        rawn_new, veln_new = rawn, state.vel_nom
+        for _ in range(cfg.adapt.steps):
+            g_raw, gn_raw = grads_at(raw_new, rawn_new)
+            # fault isolation: lanes with non-finite gradients skip this update
+            # (see run_paper_closed_loop_lanes)
+            ok = jnp.isfinite(L)
+            for leaf in g_raw:
+                ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
+            if adapt_nominal:
+                for leaf in gn_raw:
+                    ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
+            raw_new, vel_new = momentum_update(
+                raw_new, _mask(g_raw, ok), vel_new, cfg.adapt, project_raw)
+            if adapt_nominal:
+                rawn_new, veln_new = momentum_update(
+                    rawn_new, _mask(gn_raw, ok), veln_new, cfg.adapt, project_raw)
+
+        bp_aux_post = BarrierParams(alpha=raw_new.alpha(), gamma=raw_new.gamma(), tight=zero_t)
+        bp_nom_post = BarrierParams(alpha=rawn_new.alpha(), gamma=rawn_new.gamma(),
+                                    tight=rawn_new.tight())
+        u = U_aux[:, 0]
+        x_hat_next = aug.f_hat(x_hat, u, bp_aux_post)
+        u_bar = U_nom[:, 0]
+        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp_nom_post)
+
+        new_state = GenericLaneState(
+            x=x_hat_next[..., :nx] + w_t,
+            b=x_hat_next[..., nx],
+            x_bar=x_hat_bar_next[..., :nx],
+            b_bar=x_hat_bar_next[..., nx],
+            U_nom_ws=jnp.concatenate([U_nom[:, 1:], U_nom[:, -1:]], axis=1),
+            U_aux_ws=jnp.concatenate([U_aux[:, 1:], U_aux[:, -1:]], axis=1),
+            raw_aux=raw_new,
+            vel_aux=vel_new,
+            raw_nom=rawn_new,
+            vel_nom=veln_new,
+        )
+        log = (state.x, u, state.x_bar, u_bar, state.b, L,
+               raw_new.Q(), raw_new.R(), raw_new.qb())
+        return new_state, log
+
+    return step
+
+
+def generic_lane_init_state(
+    system: System,
+    aug: AugmentedDynamics,
+    cfg: TubeMPCConfig,
+    *,
+    raw_nom: RawNominalTheta,
+    raw_aux_init: RawAuxTheta,
+    x0: Array,
+    B: int,
+    dtype,
+) -> GenericLaneState:
+    nx, nu = system.nx, system.nu
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, nx))
 
     # per-lane raws (nominal broadcast too so the coupled path can adapt per lane)
     def _bcast(v, d):
@@ -367,117 +464,80 @@ def run_generic_closed_loop_lanes(
     if b_bar0.ndim == 0:
         b_bar0 = jnp.broadcast_to(b_bar0, (B,))
 
-    X_ref_nom = jnp.broadcast_to(target[None, None], (B, N + 1, nx))
-    U_ref_nom = jnp.zeros((B, N, nu), dtype=dtype)
-    w_tm = jnp.swapaxes(w_seqs, 0, 1)
-
-    def step(state: GenericLaneState, w_t):
-        raw = state.raw_aux
-        rawn = state.raw_nom
-        w_aux = CostWeights(Q=raw.Q(), R=raw.R(), Qf=raw.Qf(), qb=raw.qb())
-        bp_aux = BarrierParams(alpha=raw.alpha(), gamma=raw.gamma(), tight=zero_t)
-        w_nom = CostWeights(Q=rawn.Q(), R=rawn.R(), Qf=rawn.Qf(), qb=rawn.qb())
-        bp_nom = BarrierParams(alpha=rawn.alpha(), gamma=rawn.gamma(), tight=rawn.tight())
-
-        x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
-        X_nom, U_nom = tube_ilqr_solve_lanes(
-            pb, nom_cfg, w=w_nom, bp=bp_nom,
-            x_hat0=x_hat_bar, U_init=state.U_nom_ws,
-            X_ref=X_ref_nom, U_ref=U_ref_nom,
-            block_b=block_b, interpret=interpret,
-        )
-        X_ref = X_nom[..., :nx]
-
-        x_hat = jnp.concatenate([state.x, state.b[:, None]], axis=-1)
-        X_aux, U_aux = tube_ilqr_solve_lanes(
-            pb, aux_cfg, w=w_aux, bp=bp_aux,
-            x_hat0=x_hat, U_init=state.U_aux_ws,
-            X_ref=X_ref, U_ref=U_nom,
-            block_b=block_b, interpret=interpret,
-        )
-
-        dx = X_aux[..., :nx] - X_ref
-        db = X_aux[..., nx]
-        L = jnp.sum(dx * dx, axis=(-2, -1)) + jnp.sum(db * db, axis=-1)
-
-        aux_out = tube_sensitivity_grads_lanes_generic(
-            pb, w=w_aux, bp=bp_aux,
-            X_hat=X_aux, U=U_aux, X_ref=X_ref, U_ref=U_nom,
-            reg=1e-9, block_b=block_b, interpret=interpret,
-            emit_ref_grads=adapt_nominal,
-        )
-        if adapt_nominal:
-            g, g_Xref, g_Uref = aux_out
-            if cfg.coupling == "full":
-                # explicit ∂L/∂x̄ = -2 (x* - x̄) on the physical rows (the reference's
-                # chain stops at the aux problem's cost dependence; this term makes
-                # the bilevel gradient exact — tube/closed_loop.py coupling="full")
-                expl = jnp.concatenate(
-                    [-2.0 * dx, jnp.zeros((B, N + 1, 1), dtype=dtype)], axis=-1)
-                g_Xref = g_Xref + expl
-            gn = tube_sensitivity_grads_lanes_nominal_coupled(
-                pb, w=w_nom, bp=bp_nom,
-                X_hat=X_nom, U=U_nom, target=target,
-                upper_gX=g_Xref, upper_gU=g_Uref,
-                reg=1e-9, block_b=block_b, interpret=interpret,
-            )
-            gn_raw = _raw_chain_nom(rawn, gn)
-        else:
-            g = aux_out
-        g_raw = _raw_chain(raw, g)
-        # fault isolation: lanes with non-finite gradients skip this update
-        # (see run_paper_closed_loop_lanes)
-        ok = jnp.isfinite(L)
-        for leaf in g_raw:
-            ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
-        if adapt_nominal:
-            for leaf in gn_raw:
-                ok = ok & jnp.isfinite(leaf).all(axis=-1) if leaf.ndim == 2 else ok & jnp.isfinite(leaf)
-        g_raw = jax.tree.map(
-            lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), g_raw)
-
-        raw_new, vel_new = momentum_update(raw, g_raw, state.vel_aux, cfg.adapt, project_raw)
-        if adapt_nominal:
-            gn_raw = jax.tree.map(
-                lambda v: jnp.where(ok[:, None] if v.ndim == 2 else ok, v, 0.0), gn_raw)
-            rawn_new, veln_new = momentum_update(
-                rawn, gn_raw, state.vel_nom, cfg.adapt, project_raw)
-        else:
-            rawn_new, veln_new = rawn, state.vel_nom
-
-        bp_aux_post = BarrierParams(alpha=raw_new.alpha(), gamma=raw_new.gamma(), tight=zero_t)
-        bp_nom_post = BarrierParams(alpha=rawn_new.alpha(), gamma=rawn_new.gamma(),
-                                    tight=rawn_new.tight())
-        u = U_aux[:, 0]
-        x_hat_next = aug.f_hat(x_hat, u, bp_aux_post)
-        u_bar = U_nom[:, 0]
-        x_hat_bar_next = aug.f_hat(x_hat_bar, u_bar, bp_nom_post)
-
-        new_state = GenericLaneState(
-            x=x_hat_next[..., :nx] + w_t,
-            b=x_hat_next[..., nx],
-            x_bar=x_hat_bar_next[..., :nx],
-            b_bar=x_hat_bar_next[..., nx],
-            U_nom_ws=jnp.concatenate([U_nom[:, 1:], U_nom[:, -1:]], axis=1),
-            U_aux_ws=jnp.concatenate([U_aux[:, 1:], U_aux[:, -1:]], axis=1),
-            raw_aux=raw_new,
-            vel_aux=vel_new,
-            raw_nom=rawn_new,
-            vel_nom=veln_new,
-        )
-        log = (state.x, u, state.x_bar, u_bar, state.b, L,
-               raw_new.Q(), raw_new.R(), raw_new.qb())
-        return new_state, log
-
-    init = GenericLaneState(
+    return GenericLaneState(
         x=x0, b=b0, x_bar=x0, b_bar=b_bar0,
-        U_nom_ws=jnp.zeros((B, N, nu), dtype=dtype),
-        U_aux_ws=jnp.zeros((B, N, nu), dtype=dtype),
+        U_nom_ws=jnp.zeros((B, cfg.N, nu), dtype=dtype),
+        U_aux_ws=jnp.zeros((B, cfg.N, nu), dtype=dtype),
         raw_aux=raw_aux_init,
         vel_aux=jax.tree.map(jnp.zeros_like, raw_aux_init),
         raw_nom=raw_nom_init,
         vel_nom=jax.tree.map(jnp.zeros_like, raw_nom_init),
     )
+
+
+def run_generic_closed_loop_lanes(
+    system: System,
+    aug: AugmentedDynamics,
+    sys_c: ComponentSystem,
+    cfg: TubeMPCConfig,
+    *,
+    raw_nom: RawNominalTheta,      # fixed (uncoupled generic path)
+    raw_aux_init: RawAuxTheta,     # shared [d]-leaves or per-lane [B, d]
+    x0: Array,
+    target: Array,
+    w_seqs: Optional[Array] = None,
+    key: Optional[Array] = None,
+    batch: Optional[int] = None,
+    eps: float = 1e-6,
+    barrier_type: str = "inverse",
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> Tuple[ClosedLoopLog, Tuple[RawAuxTheta, RawNominalTheta]]:
+    """Generic-path (raw-reparameterized θ, adaptive barrier α/γ) closed loop on the
+    fused lane kernels — the reference's ``run_closed_loop_experiment`` with
+    ``paper_dubins_mode: false, adapt_nominal: false`` (``tube_mpc.py:40-663``), B
+    lanes at once. Semantics per step match tube/closed_loop.run_generic_closed_loop
+    with adapt_nominal=False (parity-tested in tests/test_lane_generic.py).
+
+    The nominal problem uses the FIXED mapped θ̄ (incl. its barrier α/γ and
+    tightening); each lane's ancillary raw θ adapts by projected momentum on the
+    full IFT gradient (weights + barrier dynamics parameters) computed by the
+    generic lane sensitivity kernels. cfg.adapt.steps > 1 runs the reference's
+    inner fixed-trajectory adaptation loop (see make_generic_lane_step).
+
+    With cfg.adapt_nominal=True the COUPLED bilevel chain runs fully on the lane
+    kernels: the aux sensitivity additionally emits ∂L/∂(X_ref, U_ref) (the
+    reference-cotangents of the tracking cost), a second sweep on the nominal
+    problem consumes them as upper gradients and accumulates the full θ̄ gradient
+    (weights + α/γ/tight dynamics terms), and both raw parameter sets update by
+    projected momentum — the reference's hand-wired chain of
+    ``tube_mpc.py:505-599``, per lane. cfg.coupling="full" adds the explicit
+    ∂L/∂x̄ term (capability beyond the reference).
+
+    Returns (log [B, H, ...], (final raw_aux, final raw_nom)).
+    """
+    if cfg.adapt.steps < 1:
+        raise ValueError("adapt.steps must be >= 1")
+    nx = system.nx
+    H = cfg.H
+
+    if w_seqs is None:
+        if key is None or batch is None:
+            raise ValueError("provide w_seqs or (key, batch)")
+        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
+    B = w_seqs.shape[0]
+    dtype = w_seqs.dtype
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_generic_lane_step(
+        system, aug, pb, cfg, target=target, B=B, dtype=dtype,
+        block_b=block_b, interpret=interpret,
+    )
+    init = generic_lane_init_state(
+        system, aug, cfg, raw_nom=raw_nom, raw_aux_init=raw_aux_init,
+        x0=x0, B=B, dtype=dtype,
+    )
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)
     final, logs = jax.lax.scan(step, init, w_tm)
     logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)
     return ClosedLoopLog(*logs), (final.raw_aux, final.raw_nom)

@@ -56,6 +56,40 @@ def load_state(path: str, template) -> Tuple[Any, int]:
     return _unflatten(template, flat), step
 
 
+def _logs_path(state_path: str) -> str:
+    """Companion logs file for a state checkpoint — substitute on the BASENAME only
+    (a ckpt_dir whose ancestors contain 'state_' must not be rewritten)."""
+    d, base = os.path.split(state_path)
+    return os.path.join(d, base.replace("state_", "logs_", 1))
+
+
+def _run_fingerprint(w, H: int) -> dict:
+    """Identity of a checkpointed run: shapes + a content hash of the disturbance
+    stream. Resuming with different inputs would silently concatenate inconsistent
+    logs; save_state stores this via its extra= hook and resume verifies it."""
+    import hashlib
+
+    arr = np.asarray(w)
+    return {
+        "H": int(H),
+        "w_shape": list(arr.shape),
+        "w_sha1": hashlib.sha1(arr.tobytes()).hexdigest()[:16],
+    }
+
+
+def _check_fingerprint(ck: str, fp: dict) -> None:
+    meta_path = ck + ".meta.json"
+    if not os.path.exists(meta_path):
+        return  # pre-metadata checkpoint: trust the caller (legacy format)
+    with open(meta_path, "r", encoding="utf-8") as f:
+        saved = json.load(f)
+    if saved != fp:
+        raise ValueError(
+            f"checkpoint {ck} was written by a different run: saved {saved} vs "
+            f"current {fp}. Point ckpt_dir elsewhere or delete the stale checkpoints."
+        )
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None
@@ -104,13 +138,15 @@ def run_paper_closed_loop_checkpointed(
 
     template = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
 
+    fp = _run_fingerprint(w_seq, H)
     start = 0
     state = template
     logs_so_far: list = []
     ck = latest_checkpoint(ckpt_dir)
     if ck is not None:
+        _check_fingerprint(ck, fp)
         state, start = load_state(ck, template)
-        saved_logs = np.load(ck.replace("state_", "logs_"), allow_pickle=False)
+        saved_logs = np.load(_logs_path(ck), allow_pickle=False)
         logs_so_far = [
             ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
         ]
@@ -126,7 +162,7 @@ def run_paper_closed_loop_checkpointed(
             *[jnp.concatenate([getattr(l, f) for l in logs_so_far], axis=0) for f in ClosedLoopLog._fields]
         )
         logs_so_far = [merged]
-        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t)
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t, extra=fp)
         np.savez(
             os.path.join(ckpt_dir, f"logs_{t}.npz"),
             **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
@@ -196,13 +232,15 @@ def run_paper_closed_loop_lanes_checkpointed(
         population=population,
     )
 
+    fp = _run_fingerprint(w_seqs, H)
     start = 0
     state = template
     logs_so_far: list = []
     ck = latest_checkpoint(ckpt_dir)
     if ck is not None:
+        _check_fingerprint(ck, fp)
         state, start = load_state(ck, template)
-        saved_logs = np.load(ck.replace("state_", "logs_"), allow_pickle=False)
+        saved_logs = np.load(_logs_path(ck), allow_pickle=False)
         logs_so_far = [
             ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
         ]
@@ -219,7 +257,7 @@ def run_paper_closed_loop_lanes_checkpointed(
               for f in ClosedLoopLog._fields]
         )
         logs_so_far = [merged]
-        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t)
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t, extra=fp)
         np.savez(
             os.path.join(ckpt_dir, f"logs_{t}.npz"),
             **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
@@ -229,3 +267,96 @@ def run_paper_closed_loop_lanes_checkpointed(
     # time-major -> batch-major, matching run_paper_closed_loop_lanes
     return ClosedLoopLog(*[jnp.swapaxes(getattr(merged, f), 0, 1)
                            for f in ClosedLoopLog._fields])
+
+
+def run_generic_closed_loop_lanes_checkpointed(
+    system,
+    aug,
+    sys_c,
+    cfg,
+    *,
+    raw_nom,
+    raw_aux_init,
+    x0,
+    target,
+    key=None,
+    w_seqs=None,
+    batch=None,
+    ckpt_dir: str,
+    segment_len: int = 50,
+    eps: float = 1e-6,
+    barrier_type: str = "inverse",
+    block_b: int = 4096,
+    interpret: bool = False,
+):
+    """Segmented, resumable GENERIC/COUPLED lane-engine closed loop
+    (tube/lane_closed_loop.run_generic_closed_loop_lanes): the [B, ...] carry —
+    every lane's state, warm starts, BOTH raw parameter sets and their momentum —
+    checkpoints at segment boundaries. Returns (ClosedLoopLog [B, H, ...],
+    (final raw_aux, final raw_nom)), matching the monolithic runner bit-exactly
+    at segment boundaries (tests/test_checkpoint_and_systems.py)."""
+    from ..tube.lane_closed_loop import (
+        generic_lane_init_state,
+        make_generic_lane_step,
+    )
+    from ..tube.lane_interface import make_lane_problem
+
+    H = cfg.H
+    if w_seqs is None:
+        if key is None or batch is None:
+            raise ValueError("provide w_seqs or (key, batch)")
+        w_seqs = system.sample_disturbance(key, (batch, H), dtype=target.dtype)
+    B = w_seqs.shape[0]
+    dtype = w_seqs.dtype
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx]
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_generic_lane_step(
+        system, aug, pb, cfg, target=target, B=B, dtype=dtype,
+        block_b=block_b, interpret=interpret,
+    )
+
+    @jax.jit
+    def run_segment(state, w_slice):
+        return jax.lax.scan(step, state, w_slice)
+
+    template = generic_lane_init_state(
+        system, aug, cfg, raw_nom=raw_nom, raw_aux_init=raw_aux_init,
+        x0=x0, B=B, dtype=dtype,
+    )
+
+    fp = _run_fingerprint(w_seqs, H)
+    start = 0
+    state = template
+    logs_so_far: list = []
+    ck = latest_checkpoint(ckpt_dir)
+    if ck is not None:
+        _check_fingerprint(ck, fp)
+        state, start = load_state(ck, template)
+        saved_logs = np.load(_logs_path(ck), allow_pickle=False)
+        logs_so_far = [
+            ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
+        ]
+
+    t = start
+    while t < H:
+        seg = min(segment_len, H - t)
+        state, logs = run_segment(state, w_tm[t : t + seg])
+        logs = ClosedLoopLog(*logs)   # time-major [seg, B, ...]
+        logs_so_far.append(logs)
+        t += seg
+        merged = ClosedLoopLog(
+            *[jnp.concatenate([getattr(l, f) for l in logs_so_far], axis=0)
+              for f in ClosedLoopLog._fields]
+        )
+        logs_so_far = [merged]
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t, extra=fp)
+        np.savez(
+            os.path.join(ckpt_dir, f"logs_{t}.npz"),
+            **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
+        )
+
+    merged = logs_so_far[0]
+    log = ClosedLoopLog(*[jnp.swapaxes(getattr(merged, f), 0, 1)
+                          for f in ClosedLoopLog._fields])
+    return log, (state.raw_aux, state.raw_nom)
