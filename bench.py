@@ -10,7 +10,9 @@ Counted work: 2 iLQR solves per closed-loop step per scenario (how BASELINE.md c
 the reference: tube_mpc.py:803-996). vs_baseline is against the PyTorch reference on
 this machine's CPU: 0.956 solves/s (tools/measure_reference.py; BASELINE.md).
 
-Prints ONE JSON line. Env knobs: BENCH_B (batch), BENCH_H (steps), BENCH_PATH=xla for
+Prints ONE JSON line. Env knobs: BENCH_B (batch), BENCH_H (steps; default 300 — the
+REFERENCE task horizon, configs/dubins.yaml:14-15, so the recorded metric is the real
+workload), BENCH_REPEATS (timed repeats, median reported), BENCH_PATH=xla for
 the non-Pallas path, BENCH_MODE=generic for the generic engine (raw-reparameterized
 θ incl. adaptive barrier α/γ; tube/lane_closed_loop.run_generic_closed_loop_lanes).
 The JSON includes finite_lane_frac — the fraction of lanes whose f32 closed loop
@@ -18,6 +20,7 @@ stayed numerically healthy to the end (see BASELINE.md on long-horizon f32).
 """
 import json
 import os
+import statistics
 import time
 
 REF_CPU_SOLVES_PER_SEC = 0.956  # measured; see BASELINE.md / tools/measure_reference.py
@@ -25,6 +28,12 @@ REF_CPU_SOLVES_PER_SEC = 0.956  # measured; see BASELINE.md / tools/measure_refe
 
 def main() -> None:
     import jax
+
+    # Persistent compile cache: kernel compilation dominates bench wall time
+    # (~5 min/process via the remote Mosaic compiler); the measured region is
+    # unaffected (timing starts after warmup).
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -37,7 +46,8 @@ def main() -> None:
     )
 
     B = int(os.environ.get("BENCH_B", 16384))
-    H = int(os.environ.get("BENCH_H", 16))
+    H = int(os.environ.get("BENCH_H", 300))
+    repeats = int(os.environ.get("BENCH_REPEATS", 3))
     path = os.environ.get("BENCH_PATH", "lanes")
     mode = os.environ.get("BENCH_MODE", "paper")
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
@@ -102,10 +112,13 @@ def main() -> None:
     out = fn(*args)  # compile + warmup
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
-    out = fn(*args)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
+    times = []
+    for _ in range(max(repeats, 1)):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    elapsed = statistics.median(times)
 
     solves = 2 * H * B
     solves_per_sec = solves / elapsed
