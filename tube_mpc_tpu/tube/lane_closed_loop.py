@@ -69,9 +69,15 @@ def make_paper_lane_step(
     population: bool = False,
     block_b: int = 4096,
     interpret: bool = False,
+    axis_name: Optional[str] = None,
 ):
     """Build the per-step lane scan body (shared by the monolithic driver below and
-    the segmented/checkpointed runner in utils/checkpoint.py)."""
+    the segmented/checkpointed runner in utils/checkpoint.py).
+
+    axis_name: population mode inside shard_map — the shared-θ gradient becomes a
+    GLOBAL finite-masked mean: (Σ grads, Σ ok) are psum'd over the mesh axis before
+    dividing, so θ stays replicated-in-sync by construction (mirrors
+    parallel/scenarios.py's population path; B is then the PER-DEVICE lane count)."""
     nx, nu = system.nx, system.nu
     N = cfg.N
     nom_cfg = cfg.nominal_ilqr()
@@ -132,8 +138,13 @@ def make_paper_lane_step(
             qb=jnp.where(ok, grads.qb, 0.0),
         )
         if population:
-            cnt = jnp.maximum(jnp.sum(ok.astype(L.dtype)), 1.0)
-            grads = jax.tree.map(lambda g: jnp.sum(g, axis=0) / cnt, grads)
+            cnt = jnp.sum(ok.astype(L.dtype))
+            sums = jax.tree.map(lambda g: jnp.sum(g, axis=0), grads)
+            if axis_name is not None:
+                cnt = jax.lax.psum(cnt, axis_name)
+                sums = jax.lax.psum(sums, axis_name)
+            cnt = jnp.maximum(cnt, 1.0)
+            grads = jax.tree.map(lambda s: s / cnt, sums)
 
         adapt, vel = momentum_update(state.adapt, grads, state.vel, cfg.adapt, project_aux_adapt)
 
@@ -228,6 +239,77 @@ def run_paper_closed_loop_lanes(
     _, logs = jax.lax.scan(step, init, w_tm)
     # time-major -> batch-major
     logs = tuple(jnp.swapaxes(l, 0, 1) for l in logs)
+    return ClosedLoopLog(*logs)
+
+
+def run_paper_closed_loop_lanes_sharded(
+    system: System,
+    aug: AugmentedDynamics,
+    sys_c: ComponentSystem,
+    cfg: TubeMPCConfig,
+    *,
+    w_nominal: CostWeights,
+    aux_init: AuxAdapt,
+    bp: BarrierParams,
+    x0: Array,           # [nx] shared or [B, nx]
+    target: Array,
+    w_seqs: Array,       # [B, H, nx] (global batch)
+    mesh,
+    eps: float = 1e-4,
+    barrier_type: str = "inverse",
+    population: bool = False,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> ClosedLoopLog:
+    """FLAGSHIP multi-chip path: the fused-kernel lane closed loop shard_map'd over
+    a `jax.sharding.Mesh` scenario axis (SURVEY.md §2b rows 1-2).
+
+    Each device advances B/n_dev lanes with the same fused Pallas kernels as the
+    single-chip driver (lane blocks are sized against the PER-DEVICE batch, so block
+    padding and shard sizes compose); independent mode shards trivially, population
+    mode keeps the shared θ replicated-in-sync via an in-scan psum of the
+    finite-masked gradient (see make_paper_lane_step). Equality with the
+    single-device driver is pinned by tests/test_lane_mesh.py on the virtual
+    8-device CPU mesh in interpret mode."""
+    from jax.sharding import PartitionSpec as P
+
+    H = cfg.H
+    B = w_seqs.shape[0]
+    n_dev = mesh.size
+    if B % n_dev != 0:
+        raise ValueError(f"global batch {B} not divisible by mesh size {n_dev}")
+    b_local = B // n_dev
+    dtype = w_seqs.dtype
+    axis = mesh.axis_names[0]
+    nx = system.nx
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, nx))
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_paper_lane_step(
+        system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
+        B=b_local, dtype=dtype, population=population, block_b=block_b,
+        interpret=interpret, axis_name=axis if population else None,
+    )
+
+    def run(w_shard, x0_shard):
+        init = paper_lane_init_state(
+            system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0_shard, B=b_local,
+            dtype=dtype, population=population,
+        )
+        w_tm = jnp.swapaxes(w_shard, 0, 1)  # [H, b_local, nx]
+        _, logs = jax.lax.scan(step, init, w_tm)
+        return tuple(jnp.swapaxes(l, 0, 1) for l in logs)
+
+    # check_vma=False: population mode mixes shard-varying lane state with
+    # mesh-replicated shared θ (kept in sync by the psum), which the varying-axes
+    # analysis can't express (same treatment as parallel/scenarios.py).
+    logs = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )(w_seqs, x0)
     return ClosedLoopLog(*logs)
 
 
