@@ -81,9 +81,23 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
                 w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
                 x0=built.x0, target=built.target,
                 w_seq=w, key=k,
+                # debug_numerics arms the reference's per-phase located finite
+                # guards inside the scan (_ensure_finite, tube_mpc.py:786-801);
+                # run_checked below surfaces the first failing phase by name.
+                debug_checks=cfg.debug_numerics,
             )
 
-        if w_seq is not None:
+        if cfg.debug_numerics:
+            from .utils.debug import run_checked
+
+            if w_seq is not None:
+                log = run_checked(lambda w: paper(w, None), w_seq)
+            elif B > 1:
+                log = run_checked(jax.vmap(lambda k: paper(None, k)),
+                                  jax.random.split(key, B))
+            else:
+                log = run_checked(lambda k: paper(None, k), key)
+        elif w_seq is not None:
             log = jax.jit(lambda w: paper(w, None))(w_seq)
         elif B > 1:
             log = jax.jit(jax.vmap(lambda k: paper(None, k)))(jax.random.split(key, B))
@@ -114,10 +128,18 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
                 built.system, built.aug, built.tube_cfg,
                 raw_nom_init=raw_nom, raw_aux_init=raw_aux,
                 x0=built.x0, target=built.target, key=k,
+                debug_checks=cfg.debug_numerics,
             )
             return log_
 
-        if B > 1:
+        if cfg.debug_numerics:
+            from .utils.debug import run_checked
+
+            if B > 1:
+                log = run_checked(jax.vmap(generic), jax.random.split(key, B))
+            else:
+                log = run_checked(generic, key)
+        elif B > 1:
             log = jax.jit(jax.vmap(generic))(jax.random.split(key, B))
         else:
             log = jax.jit(generic)(key)

@@ -125,12 +125,23 @@ def make_paper_step(
     w_nominal: CostWeights,
     bp: BarrierParams,
     target: Array,
+    debug_checks: bool = False,
 ):
     """Build the per-step closed-loop transition (scan body) for the paper path.
 
     Exposed separately so chunked/checkpointable runners (utils/checkpoint.py) and the
     monolithic scan below share one definition.
+
+    debug_checks: arm in-scan located finite guards at each reference phase
+    (A nominal solve, B aux solve, C sensitivity gradient, D propagation) —
+    the ``_ensure_finite`` diagnostics of ``tube_mpc.py:786-801``; run the loop
+    under utils.debug.run_checked to surface them.
     """
+    from ..utils.debug import located_check
+
+    def _chk(x, phase):
+        return located_check(x, phase, enabled=debug_checks)
+
     nx = system.nx
     ocp_nom = make_nominal_ocp(system, aug, target)
     ocp_aux = make_aux_ocp(system, aug)
@@ -141,6 +152,8 @@ def make_paper_step(
         # (A) nominal MPC from the nominal state (fixed parameters)
         x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[None]])
         X_nom, U_nom = ilqr_solve(ocp_nom, cfg.nominal_ilqr(), theta_nom, x_hat_bar, state.U_nom_ws)
+        X_nom = _chk(X_nom, "phase A: nominal iLQR solve X (tube_mpc.py:859)")
+        U_nom = _chk(U_nom, "phase A: nominal iLQR solve U (tube_mpc.py:859)")
         X_ref = X_nom[:, :nx]
         U_ref = U_nom
 
@@ -159,6 +172,11 @@ def make_paper_step(
             return _upper_loss(X_aux, X_ref, nx), (X_aux, U_aux)
 
         (L, (X_aux, U_aux)), grads = jax.value_and_grad(upper, has_aux=True)(state.adapt)
+        X_aux = _chk(X_aux, "phase B: ancillary iLQR solve X (tube_mpc.py:910)")
+        L = _chk(L, "phase C: upper loss (tube_mpc.py:915-919)")
+        grads = jax.tree.map(
+            lambda g: _chk(g, "phase C: sensitivity/IFT gradient (tube_mpc.py:958-976)"),
+            grads)
 
         # Algorithm-2 projected momentum update.
         adapt, vel = momentum_update(state.adapt, grads, state.vel, cfg.adapt, project_aux_adapt)
@@ -167,6 +185,7 @@ def make_paper_step(
         # the disturbed state (reference tube_mpc.py:994-996).
         u = U_aux[0]
         x_hat_next = aug.f_hat(x_hat, u, bp)
+        x_hat_next = _chk(x_hat_next, "phase D: true step propagation (tube_mpc.py:991-996)")
         x_next = x_hat_next[:nx] + w_t
         b_next = x_hat_next[nx]
 
@@ -224,18 +243,24 @@ def run_paper_closed_loop(
     target: Array,
     w_seq: Optional[Array] = None,
     key: Optional[Array] = None,
+    debug_checks: bool = False,
 ) -> ClosedLoopLog:
     """Closed-loop run of the paper-aligned configuration.
 
     w_seq [H, nx]: recorded disturbance sequence (for agreement runs against the
     reference, SURVEY.md §7 hard-part (d)); if None, sampled i.i.d. from `key`.
+
+    debug_checks: arm per-phase located finite guards (reference _ensure_finite,
+    tube_mpc.py:786-801); execute under utils.debug.run_checked to raise on the
+    first failing phase.
     """
     if w_seq is None:
         if key is None:
             raise ValueError("provide either w_seq or key")
         w_seq = system.sample_disturbance(key, (cfg.H,), dtype=x0.dtype)
 
-    step = make_paper_step(system, aug, cfg, w_nominal=w_nominal, bp=bp, target=target)
+    step = make_paper_step(system, aug, cfg, w_nominal=w_nominal, bp=bp, target=target,
+                           debug_checks=debug_checks)
     init = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
     _, logs = jax.lax.scan(step, init, w_seq)
     return ClosedLoopLog(*logs)
@@ -377,6 +402,7 @@ def run_generic_closed_loop(
     target: Array,
     w_seq: Optional[Array] = None,
     key: Optional[Array] = None,
+    debug_checks: bool = False,
 ):
     """Generic bilevel path: adapt θ (and optionally the coupled θ̄) online.
 
@@ -400,6 +426,11 @@ def run_generic_closed_loop(
         if key is None:
             raise ValueError("provide either w_seq or key")
         w_seq = system.sample_disturbance(key, (H,), dtype=dtype)
+
+    from ..utils.debug import located_check
+
+    def _chk(x, phase):
+        return located_check(x, phase, enabled=debug_checks)
 
     ocp_nom = make_nominal_ocp(system, aug, target)
     ocp_aux = make_aux_ocp(system, aug)
@@ -437,6 +468,14 @@ def run_generic_closed_loop(
         (L, (X_nom, U_nom, X_aux, U_aux)), (g_nom, g_aux) = jax.value_and_grad(
             upper, has_aux=True
         )((state.raw_nom, state.raw_aux))
+        X_nom = _chk(X_nom, "phase A: nominal iLQR solve X (tube_mpc.py:291-321)")
+        X_aux = _chk(X_aux, "phase B: ancillary iLQR solve X (tube_mpc.py:358-399)")
+        L = _chk(L, "phase C: upper loss (tube_mpc.py:412-414)")
+        g_aux = jax.tree.map(
+            lambda g: _chk(g, "phase C: IFT gradient wrt theta (ift.py:35-92)"), g_aux)
+        if cfg.adapt_nominal:
+            g_nom = jax.tree.map(
+                lambda g: _chk(g, "phase C: coupled IFT gradient wrt theta-bar (tube_mpc.py:586-599)"), g_nom)
 
         raw_nom, vel_nom = state.raw_nom, state.vel_nom
         raw_aux, vel_aux = state.raw_aux, state.vel_aux

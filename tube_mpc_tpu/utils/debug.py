@@ -42,6 +42,40 @@ def check_finite_log(tree: Any, *, name: str = "log") -> None:
             )
 
 
+def located_check(x, phase: str, enabled: bool = True):
+    """In-scan located finite guard — the reference's ``_ensure_finite`` threaded
+    through every pipeline phase (``tube_mpc.py:786-801``, ``ddp.py:138-159``),
+    TPU-native: a ``checkify.check`` that survives jit/scan/vmap and reports the
+    FIRST failing phase by name when the caller runs under ``run_checked``.
+
+    Zero compiled cost when ``enabled=False`` (static Python branch); when enabled
+    but not checkify-transformed, JAX discards user checks, so the fast path is
+    unchanged either way.
+    """
+    if not enabled:
+        return x
+    from jax.experimental import checkify
+
+    checkify.check(
+        jnp.all(jnp.isfinite(x)),
+        f"[NUMERIC-FAIL] non-finite value in {phase} "
+        "(reference _ensure_finite semantics; rerun with debug_nans for op-level "
+        "location)",
+    )
+    return x
+
+
+def run_checked(fn, *args, **kwargs):
+    """Execute ``fn`` with located_check guards armed: checkify-transform (user
+    checks), run, and throw the first located failure as ``JaxRuntimeError``.
+    The closed-loop runners use this when ``debug_numerics`` is on."""
+    from jax.experimental import checkify
+
+    err, out = jax.jit(checkify.checkify(fn, errors=checkify.user_checks))(*args, **kwargs)
+    err.throw()
+    return out
+
+
 def assert_finite(x, name: str):
     """In-graph finite check (safe under jit/vmap): prints a located diagnostic when a
     non-finite value appears. Use with checkify for hard failure; here we keep the
