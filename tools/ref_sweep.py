@@ -28,13 +28,20 @@ CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_runs"
 ARTIFACTS = ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss",
              "Qa_history", "Ra_history", "qba_history"]
 
+# "farobs": the no-excursion CONTROL variant — identical pipeline (5 circles,
+# smooth-min, DBaS, adaptation) but obstacles displaced +100 so no plan can ever
+# penetrate one; isolates barrier-excursion chaos as the only divergence source
+# in the free-running agreement study (tools/agreement_sweep.py --variant farobs).
+VARIANTS = {"": None, "farobs": 100.0}
 
-def seed_dir(seed: int) -> str:
-    return os.path.join(CACHE_ROOT, f"seed{seed:03d}")
+
+def seed_dir(seed: int, variant: str = "") -> str:
+    prefix = f"{variant}_" if variant else ""
+    return os.path.join(CACHE_ROOT, f"{prefix}seed{seed:03d}")
 
 
-def is_cached(seed: int) -> bool:
-    d = seed_dir(seed)
+def is_cached(seed: int, variant: str = "") -> bool:
+    d = seed_dir(seed, variant)
     return all(os.path.exists(os.path.join(d, f"{k}.npy")) for k in ARTIFACTS)
 
 
@@ -49,7 +56,7 @@ def parse_seeds(spec: str) -> list[int]:
     return out
 
 
-def run_seed(seed: int, steps: int = 300, horizon: int = 50) -> dict:
+def run_seed(seed: int, steps: int = 300, horizon: int = 50, variant: str = "") -> dict:
     import numpy as np
     import torch
     import yaml
@@ -61,8 +68,12 @@ def run_seed(seed: int, steps: int = 300, horizon: int = 50) -> dict:
     cfg["device"] = "cpu"
     cfg["system"]["task_horizon_H"] = steps
     cfg["system"]["horizon_N"] = horizon
+    offset = VARIANTS[variant]
+    if offset:
+        for o in cfg["environment"]["obstacles"]:
+            o["center"] = [c + offset for c in o["center"]]
 
-    d = seed_dir(seed)
+    d = seed_dir(seed, variant)
     os.makedirs(d, exist_ok=True)
     torch.manual_seed(seed)
     np.random.seed(seed)
@@ -81,15 +92,17 @@ def main() -> None:
     ap.add_argument("--seeds", type=str, default="0-49")
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--variant", type=str, default="", choices=sorted(VARIANTS))
     args = ap.parse_args()
 
     import_reference()
     seeds = parse_seeds(args.seeds)
-    todo = [s for s in seeds if not is_cached(s)]
+    todo = [s for s in seeds if not is_cached(s, args.variant)]
     print(f"[ref_sweep] {len(seeds)} requested, {len(seeds) - len(todo)} cached, "
           f"{len(todo)} to run", flush=True)
     for i, seed in enumerate(todo):
-        meta = run_seed(seed, steps=args.steps, horizon=args.horizon)
+        meta = run_seed(seed, steps=args.steps, horizon=args.horizon,
+                        variant=args.variant)
         print(f"[ref_sweep] {i + 1}/{len(todo)} seed {seed} done in "
               f"{meta['wall_s']:.0f}s", flush=True)
 

@@ -50,10 +50,15 @@ def dubins_paper_setup(
     lr: float = 5e-2,
     momentum: float = 0.9,
     alphas: Tuple[float, ...] = PAPER_ALPHAS,
+    obstacle_offset: float = 0.0,
 ) -> DubinsPaperSetup:
-    """The dubins.yaml paper experiment, parameterized by size/dtype."""
+    """The dubins.yaml paper experiment, parameterized by size/dtype.
+
+    obstacle_offset displaces all obstacle centers (the no-excursion control
+    variant of the agreement study, tools/agreement_sweep.py --variant farobs).
+    """
     field = CircleField(
-        centers=jnp.asarray([list(c) for c in PAPER_OBSTACLES], dtype=dtype),
+        centers=jnp.asarray([[c + obstacle_offset for c in o] for o in PAPER_OBSTACLES], dtype=dtype),
         radii=jnp.ones((len(PAPER_OBSTACLES),), dtype=dtype),
     )
     system = make_dubins(

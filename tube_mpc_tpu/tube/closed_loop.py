@@ -126,6 +126,7 @@ def make_paper_step(
     bp: BarrierParams,
     target: Array,
     debug_checks: bool = False,
+    extra_log_fn=None,
 ):
     """Build the per-step closed-loop transition (scan body) for the paper path.
 
@@ -136,6 +137,11 @@ def make_paper_step(
     (A nominal solve, B aux solve, C sensitivity gradient, D propagation) —
     the ``_ensure_finite`` diagnostics of ``tube_mpc.py:786-801``; run the loop
     under utils.debug.run_checked to surface them.
+
+    extra_log_fn(state, X_nom, U_nom, X_aux, U_aux) -> pytree: optional per-step
+    observability hook (e.g. warm-start plan health for the agreement chaos
+    classifier, tools/agreement_sweep.py); its output is scanned alongside the
+    standard log and returned separately by run_paper_closed_loop.
     """
     from ..utils.debug import located_check
 
@@ -204,6 +210,8 @@ def make_paper_step(
             vel=vel,
         )
         log = (state.x, u, state.x_bar, u_bar, state.b, L, adapt.Q, adapt.R, adapt.qb)
+        if extra_log_fn is not None:
+            return new_state, (log, extra_log_fn(state, X_nom, U_nom, X_aux, U_aux))
         return new_state, log
 
     return step
@@ -244,6 +252,7 @@ def run_paper_closed_loop(
     w_seq: Optional[Array] = None,
     key: Optional[Array] = None,
     debug_checks: bool = False,
+    extra_log_fn=None,
 ) -> ClosedLoopLog:
     """Closed-loop run of the paper-aligned configuration.
 
@@ -253,6 +262,8 @@ def run_paper_closed_loop(
     debug_checks: arm per-phase located finite guards (reference _ensure_finite,
     tube_mpc.py:786-801); execute under utils.debug.run_checked to raise on the
     first failing phase.
+
+    extra_log_fn: see make_paper_step; when set, returns (ClosedLoopLog, extras).
     """
     if w_seq is None:
         if key is None:
@@ -260,9 +271,12 @@ def run_paper_closed_loop(
         w_seq = system.sample_disturbance(key, (cfg.H,), dtype=x0.dtype)
 
     step = make_paper_step(system, aug, cfg, w_nominal=w_nominal, bp=bp, target=target,
-                           debug_checks=debug_checks)
+                           debug_checks=debug_checks, extra_log_fn=extra_log_fn)
     init = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
     _, logs = jax.lax.scan(step, init, w_seq)
+    if extra_log_fn is not None:
+        std, extra = logs
+        return ClosedLoopLog(*std), extra
     return ClosedLoopLog(*logs)
 
 
