@@ -4,6 +4,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tube_mpc_tpu.ops.costs import CostWeights
 from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
@@ -141,6 +142,7 @@ class TestNewSystems:
         assert np.all(np.isfinite(np.asarray(log.x_real)))
 
 
+@pytest.mark.slow  # interpret-mode lane checkpoint runs: 1-7 min each
 class TestLaneCheckpoint:
     def test_lane_checkpoint_resume_bit_exact(self, tmp_path):
         """Batched lane-engine checkpointing: kill after segment 2, resume, match the

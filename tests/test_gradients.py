@@ -134,6 +134,7 @@ def _dubins_aux_setup(N=10, beta=20.0, eps=1e-4):
     return system, aug, ocp, theta
 
 
+@pytest.mark.slow  # torch-oracle parity
 class TestBoundedGradsMatchReference:
     def test_active_set_gradient_parity(self, ref):
         """Bounded LQ tracking with heavily saturated controls: our custom_vjp gradient
@@ -219,6 +220,7 @@ class TestBoundedGradsMatchReference:
         np.testing.assert_allclose(g["Qf"], g_ref[2].numpy(), rtol=1e-7, atol=1e-10)
 
 
+@pytest.mark.slow  # torch-oracle parity
 class TestSensitivityAgainstReference:
     def test_delta_z_matches_torch(self, ref):
         import torch

@@ -15,8 +15,13 @@ from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
 from tube_mpc_tpu.tube.closed_loop import TubeMPCConfig, run_generic_closed_loop
 from tube_mpc_tpu.tube.lane_closed_loop import run_generic_closed_loop_lanes
 from tube_mpc_tpu.tube.params import AdaptConfig, RawAuxTheta, RawNominalTheta
+import pytest
 
 F64 = jnp.float64
+
+
+
+pytestmark = pytest.mark.slow  # interpret-mode lane+XLA closed-loop parity: ~1.5-2 min/test on this host
 
 
 def _setup(N=8, H=5):

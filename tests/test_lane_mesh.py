@@ -23,6 +23,10 @@ from tube_mpc_tpu.tube.lane_closed_loop import (
 F64 = jnp.float64
 
 
+
+pytestmark = pytest.mark.slow  # 8-virtual-device interpret-mode lane runs: 3-8 min/test on this host
+
+
 def _setup(N=5, H=4):
     s = dubins_paper_setup(N=N, H=H, dtype=F64, nominal_max_iter=3, aux_max_iter=3,
                            alphas=(1.0, 0.5, 0.0))

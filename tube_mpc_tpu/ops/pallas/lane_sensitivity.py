@@ -161,7 +161,7 @@ def _sbwd_kernel(pb: LaneProblem, reg: float, active_tol: float, generic: bool,
     scale_inv = jnp.where(mmax > _V_SCALE_THRESH, _V_SCALE_THRESH / mmax, 1.0)
     def _safe(v):  # NaN-scrub, see lane_solver._ric_kernel
         v = v * scale_inv
-        return jnp.where(jnp.isfinite(v), v, 0.0)
+        return jnp.where(jnp.isfinite(v.astype(jnp.float32)), v, 0.0)
     for i in range(nh):
         tVx[i, :] = _safe(tv_new[i])
         for j in range(nh):

@@ -181,7 +181,7 @@ def _ric_kernel(pb: LaneProblem, reg: float,
     # gains are zero and the lane stalls gracefully instead of going NaN forever.
     def _safe(v):
         v = v * scale_inv
-        return jnp.where(jnp.isfinite(v), v, 0.0)
+        return jnp.where(jnp.isfinite(v.astype(jnp.float32)), v, 0.0)
     for i in range(nh):
         Vx[i, :] = _safe(vx_new[i])
         for j in range(nh):
@@ -372,7 +372,7 @@ def lane_ilqr_solve(
         Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
 
         # NaN candidates never win (reference `<` semantics, ddp.py:293-296)
-        costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
+        costs = jnp.where(jnp.isnan(costs.astype(jnp.float32)), jnp.inf, costs)
         best = jnp.argmin(costs, axis=0)                    # [B_pad]
         best_cost = jnp.min(costs, axis=0)                  # [B_pad]
         # gather the winning candidate per lane
