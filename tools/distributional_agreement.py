@@ -25,7 +25,6 @@ import argparse
 import json
 import os
 import sys
-import tempfile
 import time
 
 import numpy as np
@@ -105,29 +104,22 @@ def main() -> None:
                       np.asarray(log.loss[i])) for i in range(args.our_seeds)]
     print(f"[ours] {args.our_seeds} closed loops in {ours_wall:.1f}s", flush=True)
 
-    # ---- reference over seeds (slow: ~10 min/seed on this host) ----
-    import_reference()
-    import torch
-    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
-
-    import yaml
-    with open("/root/reference/configs/dubins.yaml", "r", encoding="utf-8") as f:
-        cfg = yaml.safe_load(f)
-    cfg["system"]["task_horizon_H"] = H
-    cfg["system"]["horizon_N"] = N
+    # ---- reference over seeds: read the persistent cache (tools/ref_sweep.py
+    # pays the ~10 min/seed torch cost once; missing seeds are run + cached) ----
+    from tools.ref_sweep import is_cached, run_seed, seed_dir
 
     refs = []
     for seed in range(args.ref_seeds):
-        torch.manual_seed(seed)
-        np.random.seed(seed)
-        with tempfile.TemporaryDirectory() as d:
+        if not is_cached(seed):
+            import_reference()
             t1 = time.perf_counter()
-            run_closed_loop_experiment(cfg, device=torch.device("cpu"), run_dir=d)
-            refs.append(run_stats(
-                np.load(f"{d}/x_real.npy"), np.load(f"{d}/x_bar.npy"),
-                np.load(f"{d}/loss.npy")))
-        print(f"[ref] seed {seed} done in {time.perf_counter()-t1:.0f}s: "
-              f"{refs[-1]}", flush=True)
+            run_seed(seed, steps=H, horizon=N)
+            print(f"[ref] seed {seed} run+cached in {time.perf_counter()-t1:.0f}s",
+                  flush=True)
+        d = seed_dir(seed)
+        refs.append(run_stats(
+            np.load(f"{d}/x_real.npy"), np.load(f"{d}/x_bar.npy"),
+            np.load(f"{d}/loss.npy")))
 
     # ---- compare ----
     scalar_metrics = ["final_dist", "final_loss", "mean_loss", "mean_track_err",
