@@ -306,6 +306,7 @@ class TestGenericPathAgreement:
         np.testing.assert_allclose(np.asarray(log.qb_hist), ref["qba_history"], rtol=1e-5, atol=1e-8)
 
 
+@pytest.mark.slow  # whole-loop finite-difference check, ~16s + compile
 class TestFullCouplingGradient:
     def test_full_coupling_gradient_matches_fd(self):
         """coupling="full" (exact bilevel gradient incl. the explicit ∂L/∂x̄ term —

@@ -49,6 +49,7 @@ def _tracking_lq_ocp(nx=3, nu=2, bounded=False):
 
 
 class TestCustomVJPvsFiniteDiff:
+    @pytest.mark.slow  # finite-difference / dense-KKT oracle sweeps, 30-55s
     def test_lq_tracking_grads(self):
         # Unconstrained case: the clamped-iLQR fixed point is the exact KKT point, so
         # the IFT gradient must match finite differences tightly. (With active box
@@ -314,6 +315,7 @@ class TestSensitivityAgainstReference:
 
 
 class TestClosedFormWeightGrads:
+    @pytest.mark.slow  # finite-difference / dense-KKT oracle sweeps, 30-55s
     def test_custom_vjp_matches_closed_form(self):
         """Paper-path parity: jax.grad through diff_ilqr == the closed-form
         gQ/gR/gqb formulas (reference tube_mpc.py:963-976) computed from δz."""
@@ -370,6 +372,7 @@ class TestExactHessianSensitivity:
     Hessian through the rollout.
     """
 
+    @pytest.mark.slow  # finite-difference / dense-KKT oracle sweeps, 30-55s
     def test_exact_mode_matches_dense_kkt_oracle(self):
         from tube_mpc_tpu.presets import dubins_paper_setup
         from tube_mpc_tpu.solvers.ocp import rollout, total_cost

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tube_mpc_tpu.ops.dbas import make_augmented
 from tube_mpc_tpu.ops.lanes import dubins_components
@@ -12,6 +13,7 @@ from tube_mpc_tpu.tube.lane_closed_loop import run_paper_closed_loop_lanes
 F64 = jnp.float64
 
 
+@pytest.mark.slow  # interpret-mode lane closed loops, 60-90s
 def test_lane_closed_loop_matches_reference_driver():
     s = dubins_paper_setup(N=8, H=5, dtype=F64, nominal_max_iter=4, aux_max_iter=4,
                            alphas=(1.0, 0.5, 0.1, 0.0))
@@ -48,6 +50,7 @@ def test_lane_closed_loop_matches_reference_driver():
     np.testing.assert_allclose(np.asarray(lane.qb_hist), np.asarray(per_sample.qb_hist), rtol=1e-8, atol=1e-11)
 
 
+@pytest.mark.slow  # interpret-mode lane closed loops, 60-90s
 def test_lane_population_mode_runs():
     s = dubins_paper_setup(N=6, H=3, dtype=F64, nominal_max_iter=3, aux_max_iter=3,
                            alphas=(1.0, 0.5, 0.0))

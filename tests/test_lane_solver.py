@@ -5,6 +5,7 @@ Also pins the component forms (ops/lanes.py) against the feature-last systems.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tube_mpc_tpu.ops.costs import CostWeights
 from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
@@ -106,6 +107,7 @@ class TestLaneSolverEquivalence:
         )
         return (X_x, U_x), (X_l, U_l)
 
+    @pytest.mark.slow  # interpret-mode lane solve, 30-160s; reference_tracking_exact_f64 keeps fast coverage
     def test_goal_tracking_exact_f64(self):
         (X_x, U_x), (X_l, U_l) = self._solve_both(tracking=False, dtype=jnp.float64)
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-12, atol=1e-13)
@@ -116,6 +118,7 @@ class TestLaneSolverEquivalence:
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-12, atol=1e-13)
         np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-12, atol=1e-13)
 
+    @pytest.mark.slow  # interpret-mode lane solve, 30-160s; reference_tracking_exact_f64 keeps fast coverage
     def test_goal_tracking_f32_close(self):
         # f32 op-order round-off amplifies through the iterative solve; the f64 check
         # above pins exact semantics, this one pins the f32 noise envelope.
@@ -178,11 +181,13 @@ class TestNewFamilyComponentForms:
         )
         return (X_x, U_x), (X_l, U_l)
 
+    @pytest.mark.slow  # interpret-mode lane solve, 30-160s; reference_tracking_exact_f64 keeps fast coverage
     def test_cartpole_lane_solver_matches(self):
         (X_x, U_x), (X_l, U_l) = self._solve_both("cartpole")
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-11, atol=1e-12)
         np.testing.assert_allclose(np.asarray(X_l), np.asarray(X_x), rtol=1e-11, atol=1e-12)
 
+    @pytest.mark.slow  # interpret-mode lane solve, 30-160s; reference_tracking_exact_f64 keeps fast coverage
     def test_quadrotor2d_lane_solver_matches(self):
         (X_x, U_x), (X_l, U_l) = self._solve_both("quadrotor2d")
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=1e-11, atol=1e-12)

@@ -7,6 +7,7 @@ equal the global mean.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tube_mpc_tpu.ops.costs import CostWeights
 from tube_mpc_tpu.ops.dbas import BarrierParams, make_augmented
@@ -58,6 +59,7 @@ def test_vmapped_independent_scenarios():
     assert not np.allclose(np.asarray(logs.Q_hist[0, -1]), np.asarray(logs.Q_hist[1, -1]))
 
 
+@pytest.mark.slow  # multi-device population scans, 20-40s; vmapped_independent keeps fast coverage
 def test_tube_verification_stats():
     system, aug, cfg, kw, x0 = _setup()
     field_exact = CircleField(
@@ -77,6 +79,7 @@ def test_tube_verification_stats():
     np.testing.assert_allclose(np.asarray(logs.Q_hist[:, 0]), np.asarray(logs.Q_hist[:, -1]))
 
 
+@pytest.mark.slow  # multi-device population scans, 20-40s; vmapped_independent keeps fast coverage
 def test_population_adaptation_mesh_matches_single_device():
     system, aug, cfg, kw, x0 = _setup()
     B = 16
@@ -103,6 +106,7 @@ def test_population_adaptation_mesh_matches_single_device():
     assert np.max(np.abs(np.asarray(adapt_mesh.Q) - np.asarray(aux0.Q))) > 0
 
 
+@pytest.mark.slow  # multi-device population scans, 20-40s; vmapped_independent keeps fast coverage
 def test_population_masks_poisoned_scenarios():
     """One blown-up scenario (NaN state) must not poison the shared-theta update:
     per-scenario grads are finite-masked before the (p)mean (scenarios.py)."""

@@ -40,6 +40,7 @@ def _random_lq(key, N, n, m, dtype=F64):
 
 
 @pytest.mark.parametrize("n,m,N", [(4, 2, 17), (4, 1, 32), (6, 2, 50), (3, 3, 8)])
+@pytest.mark.slow  # associative-scan sweeps, 15-30s; horizon_parallel_dubins keeps fast coverage
 def test_parallel_gains_match_sequential(n, m, N):
     data = _random_lq(jax.random.PRNGKey(0), N, n, m)
     reg = 1e-9  # tiny reg: split vs exact updates coincide to O(reg)
@@ -49,6 +50,7 @@ def test_parallel_gains_match_sequential(n, m, N):
     np.testing.assert_allclose(np.asarray(k_p), np.asarray(k_s), rtol=1e-7, atol=1e-8)
 
 
+@pytest.mark.slow  # associative-scan sweeps, 15-30s; horizon_parallel_dubins keeps fast coverage
 def test_value_sweep_matches_sequential_recursion():
     n, m, N = 4, 2, 21
     data = _random_lq(jax.random.PRNGKey(1), N, n, m)
@@ -73,6 +75,7 @@ def test_value_sweep_matches_sequential_recursion():
     np.testing.assert_allclose(np.asarray(V_xx_p), np.asarray(jnp.stack(seq_xx)), rtol=1e-7, atol=1e-9)
 
 
+@pytest.mark.slow  # associative-scan sweeps, 15-30s; horizon_parallel_dubins keeps fast coverage
 def test_parallel_affine_rollout():
     n, N = 5, 33
     key = jax.random.PRNGKey(2)

@@ -9,6 +9,7 @@ behavior in f32 — the tightest regime — starting INSIDE an obstacle.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tube_mpc_tpu.ops.lanes import dubins_components
 from tube_mpc_tpu.presets import PAPER_OBSTACLES, dubins_paper_setup
@@ -43,6 +44,7 @@ def test_xla_solver_finite_from_violating_start():
     assert bool(jnp.isfinite(X).all() and jnp.isfinite(U).all())
 
 
+@pytest.mark.slow  # interpret-mode lane runs from violating starts, 30-65s
 def test_lane_solver_finite_and_escapes_from_violating_start():
     s, sys_c = _setup()
     pb = make_lane_problem(sys_c, eps=1e-4)
@@ -63,6 +65,7 @@ def test_lane_solver_finite_and_escapes_from_violating_start():
     assert bool((h_end > 0).all())
 
 
+@pytest.mark.slow  # interpret-mode lane runs from violating starts, 30-65s
 def test_lane_closed_loop_finite_from_violating_start():
     s, sys_c = _setup()
     B = 32
