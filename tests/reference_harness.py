@@ -19,3 +19,30 @@ def import_reference():
     import diff_tube_mpc_strict_pt  # noqa: F401
 
     return sys.modules["diff_tube_mpc_strict_pt"]
+
+
+_ORACLE_CACHE = os.environ.get("TUBE_MPC_ORACLE_CACHE", "/tmp/tube_mpc_oracle_cache")
+
+
+def cached_oracle(key: str, compute):
+    """Disk-cache a torch-oracle result (dict of ndarrays) keyed by `key`.
+
+    The oracle runs are deterministic (seeded torch on CPU f64) but cost seconds
+    to minutes each; caching them makes slow-tier reruns cheap. Include EVERY
+    input that affects the result in `key` (config json + seed) — the key is
+    hashed, so arbitrary length is fine. Delete the cache dir (or point
+    TUBE_MPC_ORACLE_CACHE elsewhere) to force fresh oracle runs.
+    """
+    import hashlib
+
+    import numpy as np
+
+    path = os.path.join(_ORACLE_CACHE,
+                        hashlib.sha1(key.encode()).hexdigest()[:20] + ".npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    out = compute()
+    os.makedirs(_ORACLE_CACHE, exist_ok=True)
+    np.savez(path, **out)
+    return out

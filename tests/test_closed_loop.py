@@ -63,21 +63,25 @@ def _ref_cfg():
 
 @pytest.fixture(scope="module")
 def reference_run(tmp_path_factory):
-    from reference_harness import import_reference
+    import json
 
-    import_reference()
-    import torch
-    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+    from reference_harness import cached_oracle, import_reference
 
-    torch.manual_seed(0)
-    np.random.seed(0)
-    run_dir = str(tmp_path_factory.mktemp("refrun"))
-    run_closed_loop_experiment(_ref_cfg(), device=torch.device("cpu"), run_dir=run_dir)
-    out = {
-        name: np.load(f"{run_dir}/{name}.npy")
-        for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss", "Qa_history", "Ra_history", "qba_history"]
-    }
-    return out
+    def compute():
+        import_reference()
+        import torch
+        from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+
+        torch.manual_seed(0)
+        np.random.seed(0)
+        run_dir = str(tmp_path_factory.mktemp("refrun"))
+        run_closed_loop_experiment(_ref_cfg(), device=torch.device("cpu"), run_dir=run_dir)
+        return {
+            name: np.load(f"{run_dir}/{name}.npy")
+            for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss", "Qa_history", "Ra_history", "qba_history"]
+        }
+
+    return cached_oracle("paper_seed0:" + json.dumps(_ref_cfg(), sort_keys=True), compute)
 
 
 def _our_setup():
@@ -211,22 +215,29 @@ def _ref_generic_cfg(steps: int, adapt_nominal: bool = False):
 
 
 def _run_ref_generic(steps: int, tmp_path, adapt_nominal: bool = False) -> dict:
-    from reference_harness import import_reference
+    import json
 
-    import_reference()
-    import torch
-    from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+    from reference_harness import cached_oracle, import_reference
 
-    torch.manual_seed(0)
-    np.random.seed(0)
-    run_dir = str(tmp_path / f"refgen{steps}{'c' if adapt_nominal else ''}")
-    run_closed_loop_experiment(_ref_generic_cfg(steps, adapt_nominal),
-                               device=torch.device("cpu"), run_dir=run_dir)
-    return {
-        name: np.load(f"{run_dir}/{name}.npy")
-        for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss",
-                     "Qa_history", "Ra_history", "qba_history"]
-    }
+    def compute():
+        import_reference()
+        import torch
+        from diff_tube_mpc_strict_pt.core.tube_mpc import run_closed_loop_experiment
+
+        torch.manual_seed(0)
+        np.random.seed(0)
+        run_dir = str(tmp_path / f"refgen{steps}{'c' if adapt_nominal else ''}")
+        run_closed_loop_experiment(_ref_generic_cfg(steps, adapt_nominal),
+                                   device=torch.device("cpu"), run_dir=run_dir)
+        return {
+            name: np.load(f"{run_dir}/{name}.npy")
+            for name in ["x_real", "u_real", "x_bar", "u_bar", "b_real", "loss",
+                         "Qa_history", "Ra_history", "qba_history"]
+        }
+
+    key = "generic_seed0:" + json.dumps(_ref_generic_cfg(steps, adapt_nominal),
+                                        sort_keys=True)
+    return cached_oracle(key, compute)
 
 
 def _generic_setup(steps: int, adapt_nominal: bool = False):
