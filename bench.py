@@ -50,7 +50,16 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     path = os.environ.get("BENCH_PATH", "lanes")
     mode = os.environ.get("BENCH_MODE", "paper")
+    # BENCH_CLIP: optional grad_clip_norm for the paper path (default 0 =
+    # reference-faithful no clipping; the reference paper path never clips).
+    clip = float(os.environ.get("BENCH_CLIP", 0) or 0)
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
+    if clip:
+        import dataclasses as _dc0
+
+        from tube_mpc_tpu.tube.params import AdaptConfig as _AC
+        s = _dc0.replace(s, cfg=_dc0.replace(
+            s.cfg, adapt=_AC(lr=5e-2, momentum=0.9, grad_clip_norm=clip)))
 
     if path == "lanes":
         sys_c = dubins_components(
