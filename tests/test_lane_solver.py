@@ -126,6 +126,43 @@ class TestLaneSolverEquivalence:
         np.testing.assert_allclose(np.asarray(U_l), np.asarray(U_x), rtol=0.05, atol=5e-3)
 
 
+class TestIterTelemetry:
+    """with_iters / with_lane_iters semantics (the straggler diagnostic behind
+    benchmarks/iter_probe.py): the per-lane count is how many while_loop trips the
+    lane entered unconverged, so max over lanes == the executed batch trip count,
+    every lane counts >= 1, and the solution is bitwise unchanged by telemetry."""
+
+    def test_lane_iters_semantics(self):
+        system, aug, sys_c = _systems(jnp.float64)
+        pb = make_lane_problem(sys_c, eps=EPS)
+        cfg = ILQRConfig(max_iter=6, tol=1e-3, reg=1e-3, alphas=(1.0, 0.5, 0.1, 0.0))
+        B, N = 5, 9
+        w = CostWeights.create([1.0, 1.0, 0.0], [1.0, 1.0], [100.0] * 3, 1.0, dtype=jnp.float64)
+        bp = BarrierParams.create(0.0, 0.0, 0.0, dtype=jnp.float64)
+        x0 = jnp.asarray([0.0, 0.0, np.pi / 4], dtype=jnp.float64) + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(3), (B, 3), dtype=jnp.float64)
+        b0 = aug.init_b0(x0, bp)
+        x_hat0 = jnp.concatenate([x0, b0[:, None]], axis=-1)
+        U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (B, N, 2), dtype=jnp.float64)
+        target = jnp.asarray([10.0, 10.0, np.pi / 4], dtype=jnp.float64)
+        X_ref = jnp.broadcast_to(target[None, None], (B, N + 1, 3))
+        U_ref = jnp.zeros((B, N, 2), dtype=jnp.float64)
+
+        kw = dict(w=w, bp=bp, x_hat0=x_hat0, U_init=U0, X_ref=X_ref, U_ref=U_ref,
+                  block_b=128, interpret=True)
+        X_p, U_p = tube_ilqr_solve_lanes(pb, cfg, **kw)
+        X_t, U_t, it, lane_it = tube_ilqr_solve_lanes(
+            pb, cfg, with_iters=True, with_lane_iters=True, **kw)
+
+        np.testing.assert_array_equal(np.asarray(U_t), np.asarray(U_p))
+        np.testing.assert_array_equal(np.asarray(X_t), np.asarray(X_p))
+        it, lane_it = int(it), np.asarray(lane_it)
+        assert lane_it.shape == (B,)
+        assert lane_it.min() >= 1
+        assert lane_it.max() == it
+        assert it <= cfg.max_iter
+
+
 class TestNewFamilyComponentForms:
     """Lane solver equivalence on the other shipped families (cartpole nu=1,
     quadrotor2d nx=6), pinning component forms to the feature-last systems."""

@@ -270,13 +270,16 @@ def lane_ilqr_solve(
     block_b: int = 4096,
     interpret: bool = False,
     with_iters: bool = False,
+    with_lane_iters: bool = False,
 ) -> Tuple[Array, ...]:
     """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows.
 
     with_iters=True additionally returns the number of improvement iterations the
     while_loop executed (scalar; all lanes advance together so this is the batch
     max) — used by benchmarks/bench_roofline.py to convert measured throughput into
-    FLOPs."""
+    FLOPs. with_lane_iters=True appends the PER-LANE iteration count [B] (how many
+    iterations each lane was still unconverged for) — the straggler diagnostic:
+    batch cost is gated by max(lane_iters) while useful work is mean(lane_iters)."""
     nh, m = pb.n_hat, pb.m
     N = U0.shape[0]
     B = U0.shape[-1]
@@ -366,7 +369,13 @@ def lane_ilqr_solve(
     term_rows = jax.lax.dynamic_slice_in_dim(C, nh + m, nh, axis=0)  # [nh, B]
 
     def body(carry):
-        it, X, U, prev_cost, done = carry
+        # lane_it ([B_pad] int32 unconverged-trip counter) is carried only when
+        # with_lane_iters — the telemetry-off program stays identical to the hot
+        # path (and keeps its persistent-cache entry).
+        if with_lane_iters:
+            it, X, U, prev_cost, done, lane_it = carry
+        else:
+            it, X, U, prev_cost, done = carry
         phix = term_rows * (X[-1] - X_ref[-1])
         K, kff = ric(X[:-1], U, X_ref[:-1], U_ref, C, phix)
         Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
@@ -391,11 +400,13 @@ def lane_ilqr_solve(
         U = jnp.where(live[None, None, :], U_new, U)
         new_done = done | (jnp.abs(prev_cost - best_cost) < tol)
         prev_cost = jnp.where(live, best_cost, prev_cost)
-        return it + 1, X, U, prev_cost, new_done
+        out = (it + 1, X, U, prev_cost, new_done)
+        if with_lane_iters:
+            out += (lane_it + live.astype(jnp.int32),)
+        return out
 
     def cond(carry):
-        it, _, _, _, done = carry
-        return (it < max_iter) & (~jnp.all(done))
+        return (carry[0] < max_iter) & (~jnp.all(carry[4]))
 
     init = (
         jnp.asarray(0),
@@ -404,7 +415,13 @@ def lane_ilqr_solve(
         jnp.full((B_pad,), jnp.inf, dtype=dtype),
         jnp.zeros((B_pad,), dtype=bool),
     )
-    it, X, U, _, _ = jax.lax.while_loop(cond, body, init)
+    if with_lane_iters:
+        init += (jnp.zeros((B_pad,), dtype=jnp.int32),)
+    fin = jax.lax.while_loop(cond, body, init)
+    it, X, U = fin[0], fin[1], fin[2]
+    extras = ()
     if with_iters:
-        return X[..., :B], U[..., :B], it
-    return X[..., :B], U[..., :B]
+        extras += (it,)
+    if with_lane_iters:
+        extras += (fin[5][:B],)
+    return (X[..., :B], U[..., :B]) + extras

@@ -70,9 +70,14 @@ def make_paper_lane_step(
     block_b: int = 4096,
     interpret: bool = False,
     axis_name: Optional[str] = None,
+    iter_telemetry: bool = False,
 ):
     """Build the per-step lane scan body (shared by the monolithic driver below and
     the segmented/checkpointed runner in utils/checkpoint.py).
+
+    iter_telemetry appends the per-lane solver iteration counts (nominal, aux) to
+    the log tuple — the straggler diagnostic behind benchmarks/iter_probe.py (batch
+    cost per step is gated by max over lanes; useful work is the mean).
 
     axis_name: population mode inside shard_map — the shared-θ gradient becomes a
     GLOBAL finite-masked mean: (Σ grads, Σ ok) are psum'd over the mesh axis before
@@ -87,22 +92,24 @@ def make_paper_lane_step(
 
     def step(state: LaneLoopState, w_t):
         x_hat_bar = jnp.concatenate([state.x_bar, state.b_bar[:, None]], axis=-1)
-        X_nom, U_nom = tube_ilqr_solve_lanes(
+        nom_out = tube_ilqr_solve_lanes(
             pb, nom_cfg, w=w_nominal, bp=bp,
             x_hat0=x_hat_bar, U_init=state.U_nom_ws,
             X_ref=X_ref_nom, U_ref=U_ref_nom,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, interpret=interpret, with_lane_iters=iter_telemetry,
         )
+        X_nom, U_nom = nom_out[0], nom_out[1]
         X_ref = X_nom[..., :nx]                      # [B, N+1, nx]
 
         x_hat = jnp.concatenate([state.x, state.b[:, None]], axis=-1)
         w_aux = CostWeights(Q=state.adapt.Q, R=state.adapt.R, Qf=state.adapt.Q, qb=state.adapt.qb)
-        X_aux, U_aux = tube_ilqr_solve_lanes(
+        aux_out = tube_ilqr_solve_lanes(
             pb, aux_cfg, w=w_aux, bp=bp,
             x_hat0=x_hat, U_init=state.U_aux_ws,
             X_ref=X_ref, U_ref=U_nom,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, interpret=interpret, with_lane_iters=iter_telemetry,
         )
+        X_aux, U_aux = aux_out[0], aux_out[1]
 
         # upper loss + closed-form Algorithm-2 gradient from the δz sensitivity,
         # computed by the fused lane kernels (the vmapped feature-last XLA sweep
@@ -168,6 +175,8 @@ def make_paper_lane_step(
         logR = jnp.broadcast_to(adapt.R, (B, nu))
         logqb = jnp.broadcast_to(adapt.qb, (B,))
         log = (state.x, u, state.x_bar, u_bar, state.b, L, logQ, logR, logqb)
+        if iter_telemetry:
+            log = log + (nom_out[2], aux_out[2])
         return new_state, log
 
     return step

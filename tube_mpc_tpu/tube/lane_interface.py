@@ -54,12 +54,14 @@ def tube_ilqr_solve_lanes(
     block_b: int = 4096,
     interpret: bool = False,
     with_iters: bool = False,
+    with_lane_iters: bool = False,
 ) -> Tuple[Array, ...]:
     """Solve B tube OCPs at once with the fused lane kernels.
 
     Returns (X_hat [B, N+1, n̂], U [B, N, m]) — plus the executed while_loop
-    iteration count when with_iters=True. Clamping, alpha-ladder selection and
-    per-lane convergence reproduce solvers/ilqr.ilqr_solve.
+    iteration count when with_iters=True and the per-lane iteration counts [B]
+    when with_lane_iters=True (see lane_ilqr_solve). Clamping, alpha-ladder
+    selection and per-lane convergence reproduce solvers/ilqr.ilqr_solve.
     """
     B, N, m = U_init.shape
     nh = pb.n_hat
@@ -109,12 +111,10 @@ def tube_ilqr_solve_lanes(
         block_b=block_b,
         interpret=interpret,
         with_iters=with_iters,
+        with_lane_iters=with_lane_iters,
     )
-    if with_iters:
-        X_r, U_r, it = out
-        return _unrows(X_r), _unrows(U_r), it
-    X_r, U_r = out
-    return _unrows(X_r), _unrows(U_r)
+    X_r, U_r = out[0], out[1]
+    return (_unrows(X_r), _unrows(U_r)) + tuple(out[2:])
 
 
 def _build_C(pb: LaneProblem, w: CostWeights, bp: BarrierParams, B: int, dtype) -> Array:
