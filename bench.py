@@ -95,11 +95,23 @@ def main() -> None:
                 )
                 return log.u_real, log.loss
         else:
+            # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
+            # "10,15" sets aux only. Bitwise-identical straggler compaction
+            # (ops/pallas/lane_solver.lane_ilqr_solve compact_caps).
+            compact = os.environ.get("BENCH_COMPACT", "")
+            aux_caps, nom_caps = (), ()
+            if compact:
+                parts = compact.split(";")
+                aux_caps = tuple(int(c) for c in parts[0].split(",") if c)
+                if len(parts) > 1:
+                    nom_caps = tuple(int(c) for c in parts[1].split(",") if c)
+
             def run(w_seqs):
                 log = run_paper_closed_loop_lanes(
                     s.system, s.aug, sys_c, s.cfg,
                     w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
                     x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                    nom_compact_caps=nom_caps, aux_compact_caps=aux_caps,
                 )
                 return log.u_real, log.loss
 

@@ -163,6 +163,43 @@ class TestIterTelemetry:
         assert it <= cfg.max_iter
 
 
+class TestCompaction:
+    """compact_caps straggler compaction must be BITWISE identical to the plain
+    loop — both when the unconverged lanes fit the halved width (compact branch)
+    and when they don't (full-width fallback). Lanes are independent in the
+    kernels, so gathering them into a narrower batch cannot change their math."""
+
+    @pytest.mark.slow  # interpret-mode lane solves at B=136 with multiple phase variants
+    def test_bitwise_parity_both_branches(self):
+        system, aug, sys_c = _systems(F32)
+        pb = make_lane_problem(sys_c, eps=EPS)
+        cfg = ILQRConfig(max_iter=6, tol=1e-3, reg=1e-3, alphas=(1.0, 0.5, 0.1, 0.0))
+        B, N = 136, 9   # B_pad=256 at block_b=128 -> halvable to 128
+        w = CostWeights.create([1.0, 1.0, 0.0], [1.0, 1.0], [100.0] * 3, 1.0, dtype=F32)
+        bp = BarrierParams.create(0.0, 0.0, 0.0, dtype=F32)
+        x0 = jnp.asarray([0.0, 0.0, np.pi / 4], dtype=F32) + 0.05 * jax.random.normal(
+            jax.random.PRNGKey(3), (B, 3), dtype=F32)
+        b0 = aug.init_b0(x0, bp)
+        x_hat0 = jnp.concatenate([x0, b0[:, None]], axis=-1)
+        U0 = 0.1 * jax.random.normal(jax.random.PRNGKey(4), (B, N, 2), dtype=F32)
+        target = jnp.asarray([10.0, 10.0, np.pi / 4], dtype=F32)
+        X_ref = jnp.broadcast_to(target[None, None], (B, N + 1, 3))
+        U_ref = jnp.zeros((B, N, 2), dtype=F32)
+
+        kw = dict(w=w, bp=bp, x_hat0=x_hat0, U_init=U0, X_ref=X_ref, U_ref=U_ref,
+                  block_b=128, interpret=True)
+        X_p, U_p, lane_it = tube_ilqr_solve_lanes(
+            pb, cfg, with_lane_iters=True, **kw)
+        lane_it = np.asarray(lane_it)
+        # caps=(1,): after 1 trip nearly all lanes are unconverged -> fallback path;
+        # caps chosen at the median convergence point -> compact path exercised
+        mid = int(np.median(lane_it))
+        for caps in [(1,), (max(2, mid),), (1, max(2, mid))]:
+            X_c, U_c = tube_ilqr_solve_lanes(pb, cfg, compact_caps=caps, **kw)
+            np.testing.assert_array_equal(np.asarray(U_c), np.asarray(U_p), err_msg=f"caps={caps}")
+            np.testing.assert_array_equal(np.asarray(X_c), np.asarray(X_p), err_msg=f"caps={caps}")
+
+
 class TestNewFamilyComponentForms:
     """Lane solver equivalence on the other shipped families (cartpole nu=1,
     quadrotor2d nx=6), pinning component forms to the feature-last systems."""

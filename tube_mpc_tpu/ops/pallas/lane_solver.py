@@ -271,6 +271,7 @@ def lane_ilqr_solve(
     interpret: bool = False,
     with_iters: bool = False,
     with_lane_iters: bool = False,
+    compact_caps: Tuple[int, ...] = (),
 ) -> Tuple[Array, ...]:
     """Run the fused-kernels iLQR; returns (X [N+1, n̂, B], U [N, m, B]) rows.
 
@@ -279,7 +280,23 @@ def lane_ilqr_solve(
     max) — used by benchmarks/bench_roofline.py to convert measured throughput into
     FLOPs. with_lane_iters=True appends the PER-LANE iteration count [B] (how many
     iterations each lane was still unconverged for) — the straggler diagnostic:
-    batch cost is gated by max(lane_iters) while useful work is mean(lane_iters)."""
+    batch cost is gated by max(lane_iters) while useful work is mean(lane_iters).
+
+    compact_caps — straggler reclaim. Lockstep batching makes every while_loop trip
+    cost the FULL batch even when most lanes have converged (benchmarks/iter_probe.py
+    measures the waste: batch trips = max over lanes, useful work = mean). Lanes are
+    fully independent in these kernels (all math is per-lane row algebra; the only
+    cross-lane op, argmin, is over the alpha axis), so the unconverged stragglers can
+    be GATHERED into a half-width batch and iterated there, bitwise-identically,
+    at half the cost per trip. compact_caps=(c1, c2, ...) runs full width until
+    iteration c1, then at each cap tries to halve the working width (B/2 after c1,
+    B/4 after c2, ...): if the unconverged lanes fit in the halved width they are
+    compacted (converged fillers pad the remainder; their rows are write-masked so
+    the scatter-back is a no-op for them), otherwise that stage falls back to the
+    incumbent full-width loop for the same iteration budget — so the result is
+    bitwise equal to compact_caps=() in EVERY case, and the cost is bounded above
+    by the uncompacted loop plus O(B) gather/scatters. () disables (the program —
+    and its persistent-cache entry — is then byte-identical to the pre-knob code)."""
     nh, m = pb.n_hat, pb.m
     N = U0.shape[0]
     B = U0.shape[-1]
@@ -310,103 +327,117 @@ def lane_ilqr_solve(
     kb_rev = lambda b, k: (N - 1 - k, 0, b)  # backward per-k blocks
     fixed = lambda b, k: (0, b)
 
-    ric = pl.pallas_call(
-        functools.partial(_ric_kernel, pb, float(reg)),
-        grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U
-            pl.BlockSpec((1, nh, Bt), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),    # U_ref
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # phi_x rows
-        ],
-        out_specs=[
-            pl.BlockSpec((1, m * nh, Bt), kb_rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, Bt), kb_rev, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, m * nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, m, B_pad), dtype),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((nh, Bt), dtype),
-            pltpu.VMEM((nh * nh, Bt), dtype),
-            pltpu.VMEM((1, Bt), dtype),   # LogS: per-lane V scale (log)
-        ],
-        interpret=interpret,
-    )
-
-    fwd = pl.pallas_call(
-        functools.partial(_fwd_kernel, pb, tuple(alphas), N),
-        grid=(nb, N),
-        in_specs=[
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # x0
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_old[:N]
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_old
-            pl.BlockSpec((1, m * nh, Bt), kb, memory_space=pltpu.VMEM),   # K
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # kff
-            pl.BlockSpec((1, nh, Bt), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
-            pl.BlockSpec((nh, Bt), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
-            pl.BlockSpec((1, m, Bt), kb, memory_space=pltpu.VMEM),        # U_ref
-            pl.BlockSpec((C.shape[0], Bt), fixed, memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, na * nh, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, na * m, Bt), kb, memory_space=pltpu.VMEM),
-            pl.BlockSpec((na, Bt), fixed, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((N, na * nh, B_pad), dtype),
-            jax.ShapeDtypeStruct((N, na * m, B_pad), dtype),
-            jax.ShapeDtypeStruct((na, B_pad), dtype),
-        ],
-        scratch_shapes=[pltpu.VMEM((na * nh, Bt), dtype)],
-        interpret=interpret,
-    )
-
     nc = C.shape[0]
-    term_rows = jax.lax.dynamic_slice_in_dim(C, nh + m, nh, axis=0)  # [nh, B]
 
-    def body(carry):
-        # lane_it ([B_pad] int32 unconverged-trip counter) is carried only when
-        # with_lane_iters — the telemetry-off program stays identical to the hot
-        # path (and keeps its persistent-cache entry).
-        if with_lane_iters:
-            it, X, U, prev_cost, done, lane_it = carry
-        else:
-            it, X, U, prev_cost, done = carry
-        phix = term_rows * (X[-1] - X_ref[-1])
-        K, kff = ric(X[:-1], U, X_ref[:-1], U_ref, C, phix)
-        Xn, Un, costs = fwd(x_hat0, X[:-1], U, K, kff, X_ref[:-1], X_ref[-1], U_ref, C)
+    def _phase(x_hat0_w, X_ref_w, U_ref_w, C_w, cap):
+        """(cond, body) for one improvement loop at the width of the given consts.
 
-        # NaN candidates never win (reference `<` semantics, ddp.py:293-296)
-        costs = jnp.where(jnp.isnan(costs.astype(jnp.float32)), jnp.inf, costs)
-        best = jnp.argmin(costs, axis=0)                    # [B_pad]
-        best_cost = jnp.min(costs, axis=0)                  # [B_pad]
-        # gather the winning candidate per lane
-        Xn_r = Xn.reshape(N, na, nh, B_pad)
-        Un_r = Un.reshape(N, na, m, B_pad)
-        # where-gather, NOT multiply-by-one-hot: a LOSING candidate with NaN states
-        # (e.g. huge-gain rollouts in barrier-violating regimes) would poison the
-        # winner via NaN * 0 = NaN.
-        sel = jax.nn.one_hot(best, na, dtype=bool, axis=0)   # [na, B_pad]
-        X_new_tail = jnp.sum(jnp.where(sel[None, :, None, :], Xn_r, 0), axis=1)
-        U_new = jnp.sum(jnp.where(sel[None, :, None, :], Un_r, 0), axis=1)
-        X_new = jnp.concatenate([x_hat0[None], X_new_tail], axis=0)
+        Width-polymorphic so the compaction stages below can run the identical
+        per-lane math on a gathered half-width batch; at full width with
+        cap=max_iter this is exactly the original single-loop program."""
+        Bw = x_hat0_w.shape[-1]
+        Btw = min(Bt, Bw)
+        nbw = Bw // Btw
 
-        live = ~done
-        X = jnp.where(live[None, None, :], X_new, X)
-        U = jnp.where(live[None, None, :], U_new, U)
-        new_done = done | (jnp.abs(prev_cost - best_cost) < tol)
-        prev_cost = jnp.where(live, best_cost, prev_cost)
-        out = (it + 1, X, U, prev_cost, new_done)
-        if with_lane_iters:
-            out += (lane_it + live.astype(jnp.int32),)
-        return out
+        ric = pl.pallas_call(
+            functools.partial(_ric_kernel, pb, float(reg)),
+            grid=(nbw, N),
+            in_specs=[
+                pl.BlockSpec((1, nh, Btw), kb_rev, memory_space=pltpu.VMEM),   # X[:N]
+                pl.BlockSpec((1, m, Btw), kb_rev, memory_space=pltpu.VMEM),    # U
+                pl.BlockSpec((1, nh, Btw), kb_rev, memory_space=pltpu.VMEM),   # X_ref[:N]
+                pl.BlockSpec((1, m, Btw), kb_rev, memory_space=pltpu.VMEM),    # U_ref
+                pl.BlockSpec((nc, Btw), fixed, memory_space=pltpu.VMEM),
+                pl.BlockSpec((nh, Btw), fixed, memory_space=pltpu.VMEM),       # phi_x rows
+            ],
+            out_specs=[
+                pl.BlockSpec((1, m * nh, Btw), kb_rev, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, m, Btw), kb_rev, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, m * nh, Bw), dtype),
+                jax.ShapeDtypeStruct((N, m, Bw), dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nh, Btw), dtype),
+                pltpu.VMEM((nh * nh, Btw), dtype),
+                pltpu.VMEM((1, Btw), dtype),   # LogS: per-lane V scale (log)
+            ],
+            interpret=interpret,
+        )
 
-    def cond(carry):
-        return (carry[0] < max_iter) & (~jnp.all(carry[4]))
+        fwd = pl.pallas_call(
+            functools.partial(_fwd_kernel, pb, tuple(alphas), N),
+            grid=(nbw, N),
+            in_specs=[
+                pl.BlockSpec((nh, Btw), fixed, memory_space=pltpu.VMEM),       # x0
+                pl.BlockSpec((1, nh, Btw), kb, memory_space=pltpu.VMEM),       # X_old[:N]
+                pl.BlockSpec((1, m, Btw), kb, memory_space=pltpu.VMEM),        # U_old
+                pl.BlockSpec((1, m * nh, Btw), kb, memory_space=pltpu.VMEM),   # K
+                pl.BlockSpec((1, m, Btw), kb, memory_space=pltpu.VMEM),        # kff
+                pl.BlockSpec((1, nh, Btw), kb, memory_space=pltpu.VMEM),       # X_ref[:N]
+                pl.BlockSpec((nh, Btw), fixed, memory_space=pltpu.VMEM),       # X_ref[N]
+                pl.BlockSpec((1, m, Btw), kb, memory_space=pltpu.VMEM),        # U_ref
+                pl.BlockSpec((nc, Btw), fixed, memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, na * nh, Btw), kb, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, na * m, Btw), kb, memory_space=pltpu.VMEM),
+                pl.BlockSpec((na, Btw), fixed, memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((N, na * nh, Bw), dtype),
+                jax.ShapeDtypeStruct((N, na * m, Bw), dtype),
+                jax.ShapeDtypeStruct((na, Bw), dtype),
+            ],
+            scratch_shapes=[pltpu.VMEM((na * nh, Btw), dtype)],
+            interpret=interpret,
+        )
+
+        term_rows = jax.lax.dynamic_slice_in_dim(C_w, nh + m, nh, axis=0)  # [nh, Bw]
+
+        def body(carry):
+            # lane_it ([Bw] int32 unconverged-trip counter) is carried only when
+            # with_lane_iters — the telemetry-off program stays identical to the hot
+            # path (and keeps its persistent-cache entry).
+            if with_lane_iters:
+                it, X, U, prev_cost, done, lane_it = carry
+            else:
+                it, X, U, prev_cost, done = carry
+            phix = term_rows * (X[-1] - X_ref_w[-1])
+            K, kff = ric(X[:-1], U, X_ref_w[:-1], U_ref_w, C_w, phix)
+            Xn, Un, costs = fwd(
+                x_hat0_w, X[:-1], U, K, kff, X_ref_w[:-1], X_ref_w[-1], U_ref_w, C_w)
+
+            # NaN candidates never win (reference `<` semantics, ddp.py:293-296)
+            costs = jnp.where(jnp.isnan(costs.astype(jnp.float32)), jnp.inf, costs)
+            best = jnp.argmin(costs, axis=0)                    # [Bw]
+            best_cost = jnp.min(costs, axis=0)                  # [Bw]
+            # gather the winning candidate per lane
+            Xn_r = Xn.reshape(N, na, nh, Bw)
+            Un_r = Un.reshape(N, na, m, Bw)
+            # where-gather, NOT multiply-by-one-hot: a LOSING candidate with NaN states
+            # (e.g. huge-gain rollouts in barrier-violating regimes) would poison the
+            # winner via NaN * 0 = NaN.
+            sel = jax.nn.one_hot(best, na, dtype=bool, axis=0)   # [na, Bw]
+            X_new_tail = jnp.sum(jnp.where(sel[None, :, None, :], Xn_r, 0), axis=1)
+            U_new = jnp.sum(jnp.where(sel[None, :, None, :], Un_r, 0), axis=1)
+            X_new = jnp.concatenate([x_hat0_w[None], X_new_tail], axis=0)
+
+            live = ~done
+            X = jnp.where(live[None, None, :], X_new, X)
+            U = jnp.where(live[None, None, :], U_new, U)
+            new_done = done | (jnp.abs(prev_cost - best_cost) < tol)
+            prev_cost = jnp.where(live, best_cost, prev_cost)
+            out = (it + 1, X, U, prev_cost, new_done)
+            if with_lane_iters:
+                out += (lane_it + live.astype(jnp.int32),)
+            return out
+
+        def cond(carry):
+            return (carry[0] < cap) & (~jnp.all(carry[4]))
+
+        return cond, body
 
     init = (
         jnp.asarray(0),
@@ -417,7 +448,53 @@ def lane_ilqr_solve(
     )
     if with_lane_iters:
         init += (jnp.zeros((B_pad,), dtype=jnp.int32),)
-    fin = jax.lax.while_loop(cond, body, init)
+
+    caps = tuple(int(c) for c in compact_caps if int(c) < max_iter)
+    cond, body = _phase(x_hat0, X_ref, U_ref, C, caps[0] if caps else max_iter)
+    state = jax.lax.while_loop(cond, body, init)
+
+    for si, cap in enumerate(tuple(caps[1:]) + ((max_iter,) if caps else ())):
+        # halved width, rounded up so the pallas grid tiles it exactly
+        # (nbw * Btw == Bw in _phase): to a multiple of its own block width
+        W = max(128, B_pad >> (si + 1))
+        W = ((W + min(Bt, W) - 1) // min(Bt, W)) * min(Bt, W)
+        if W >= B_pad:
+            # can't narrow below the 128-lane tile: keep iterating at full width
+            c_f, b_f = _phase(x_hat0, X_ref, U_ref, C, cap)
+            state = jax.lax.while_loop(c_f, b_f, state)
+            continue
+
+        def full_branch(s, _cap=cap):
+            c_f, b_f = _phase(x_hat0, X_ref, U_ref, C, _cap)
+            return jax.lax.while_loop(c_f, b_f, s)
+
+        def compact_branch(s, _cap=cap, _W=W):
+            it_s, X_s, U_s, pc_s, dn_s = s[:5]
+            # unconverged lanes first (stable sort: False < True), converged fillers
+            # pad to _W; fillers are live-masked inside the loop so their rows come
+            # back unchanged and the scatter is a no-op for them
+            idx = jnp.argsort(dn_s)[:_W].astype(jnp.int32)
+            g = lambda a: jnp.take(a, idx, axis=-1)
+            c_c, b_c = _phase(g(x_hat0), g(X_ref), g(U_ref), g(C), _cap)
+            sub = (it_s, g(X_s), g(U_s), g(pc_s), g(dn_s)) + tuple(
+                g(r) for r in s[5:])
+            fs = jax.lax.while_loop(c_c, b_c, sub)
+            out = (
+                fs[0],
+                X_s.at[..., idx].set(fs[1]),
+                U_s.at[..., idx].set(fs[2]),
+                pc_s.at[idx].set(fs[3]),
+                dn_s.at[idx].set(fs[4]),
+            )
+            if len(s) > 5:
+                out += (s[5].at[idx].set(fs[5]),)
+            return out
+
+        n_unconverged = jnp.sum(~state[4])
+        state = jax.lax.cond(
+            n_unconverged <= W, compact_branch, full_branch, state)
+
+    fin = state
     it, X, U = fin[0], fin[1], fin[2]
     extras = ()
     if with_iters:

@@ -71,6 +71,8 @@ def make_paper_lane_step(
     interpret: bool = False,
     axis_name: Optional[str] = None,
     iter_telemetry: bool = False,
+    nom_compact_caps: Tuple[int, ...] = (),
+    aux_compact_caps: Tuple[int, ...] = (),
 ):
     """Build the per-step lane scan body (shared by the monolithic driver below and
     the segmented/checkpointed runner in utils/checkpoint.py).
@@ -78,6 +80,10 @@ def make_paper_lane_step(
     iter_telemetry appends the per-lane solver iteration counts (nominal, aux) to
     the log tuple — the straggler diagnostic behind benchmarks/iter_probe.py (batch
     cost per step is gated by max over lanes; useful work is the mean).
+
+    nom_compact_caps / aux_compact_caps: bitwise-identical straggler compaction for
+    the two solves (see ops/pallas/lane_solver.lane_ilqr_solve compact_caps) —
+    the aux solve (max_iter 20, long convergence tail) is the profitable target.
 
     axis_name: population mode inside shard_map — the shared-θ gradient becomes a
     GLOBAL finite-masked mean: (Σ grads, Σ ok) are psum'd over the mesh axis before
@@ -97,6 +103,7 @@ def make_paper_lane_step(
             x_hat0=x_hat_bar, U_init=state.U_nom_ws,
             X_ref=X_ref_nom, U_ref=U_ref_nom,
             block_b=block_b, interpret=interpret, with_lane_iters=iter_telemetry,
+            compact_caps=nom_compact_caps,
         )
         X_nom, U_nom = nom_out[0], nom_out[1]
         X_ref = X_nom[..., :nx]                      # [B, N+1, nx]
@@ -108,6 +115,7 @@ def make_paper_lane_step(
             x_hat0=x_hat, U_init=state.U_aux_ws,
             X_ref=X_ref, U_ref=U_nom,
             block_b=block_b, interpret=interpret, with_lane_iters=iter_telemetry,
+            compact_caps=aux_compact_caps,
         )
         X_aux, U_aux = aux_out[0], aux_out[1]
 
@@ -225,6 +233,8 @@ def run_paper_closed_loop_lanes(
     population: bool = False,
     block_b: int = 4096,
     interpret: bool = False,
+    nom_compact_caps: Tuple[int, ...] = (),
+    aux_compact_caps: Tuple[int, ...] = (),
 ) -> ClosedLoopLog:
     """Returns a ClosedLoopLog with leading batch dim [B, H, ...]."""
     H = cfg.H
@@ -239,6 +249,7 @@ def run_paper_closed_loop_lanes(
     step = make_paper_lane_step(
         system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
         B=B, dtype=dtype, population=population, block_b=block_b, interpret=interpret,
+        nom_compact_caps=nom_compact_caps, aux_compact_caps=aux_compact_caps,
     )
     init = paper_lane_init_state(
         system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0, B=B, dtype=dtype,

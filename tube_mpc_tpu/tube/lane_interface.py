@@ -55,6 +55,7 @@ def tube_ilqr_solve_lanes(
     interpret: bool = False,
     with_iters: bool = False,
     with_lane_iters: bool = False,
+    compact_caps: Tuple[int, ...] = (),
 ) -> Tuple[Array, ...]:
     """Solve B tube OCPs at once with the fused lane kernels.
 
@@ -62,6 +63,9 @@ def tube_ilqr_solve_lanes(
     iteration count when with_iters=True and the per-lane iteration counts [B]
     when with_lane_iters=True (see lane_ilqr_solve). Clamping, alpha-ladder
     selection and per-lane convergence reproduce solvers/ilqr.ilqr_solve.
+    compact_caps enables bitwise-identical straggler compaction (halve the
+    working width at each cap when the unconverged lanes fit; see
+    lane_ilqr_solve).
     """
     B, N, m = U_init.shape
     nh = pb.n_hat
@@ -112,6 +116,7 @@ def tube_ilqr_solve_lanes(
         interpret=interpret,
         with_iters=with_iters,
         with_lane_iters=with_lane_iters,
+        compact_caps=compact_caps,
     )
     X_r, U_r = out[0], out[1]
     return (_unrows(X_r), _unrows(U_r)) + tuple(out[2:])
