@@ -68,6 +68,17 @@ def main() -> None:
             aggregation="smoothmin", beta=20.0,
         )
 
+        # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
+        # "10,15" sets aux only. Bitwise-identical straggler compaction
+        # (ops/pallas/lane_solver.lane_ilqr_solve compact_caps).
+        compact = os.environ.get("BENCH_COMPACT", "")
+        aux_caps, nom_caps = (), ()
+        if compact:
+            parts = compact.split(";")
+            aux_caps = tuple(int(c) for c in parts[0].split(",") if c)
+            if len(parts) > 1:
+                nom_caps = tuple(int(c) for c in parts[1].split(",") if c)
+
         if mode in ("generic", "coupled"):
             from tube_mpc_tpu.tube.params import RawAuxTheta, RawNominalTheta
             import dataclasses as _dc
@@ -92,20 +103,10 @@ def main() -> None:
                     s.system, s.aug, sys_c, cfg,
                     raw_nom=raw_nom, raw_aux_init=raw_aux,
                     x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                    nom_compact_caps=nom_caps, aux_compact_caps=aux_caps,
                 )
                 return log.u_real, log.loss
         else:
-            # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
-            # "10,15" sets aux only. Bitwise-identical straggler compaction
-            # (ops/pallas/lane_solver.lane_ilqr_solve compact_caps).
-            compact = os.environ.get("BENCH_COMPACT", "")
-            aux_caps, nom_caps = (), ()
-            if compact:
-                parts = compact.split(";")
-                aux_caps = tuple(int(c) for c in parts[0].split(",") if c)
-                if len(parts) > 1:
-                    nom_caps = tuple(int(c) for c in parts[1].split(",") if c)
-
             def run(w_seqs):
                 log = run_paper_closed_loop_lanes(
                     s.system, s.aug, sys_c, s.cfg,

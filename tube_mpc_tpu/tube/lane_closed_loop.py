@@ -388,6 +388,8 @@ def make_generic_lane_step(
     dtype,
     block_b: int = 4096,
     interpret: bool = False,
+    nom_compact_caps: Tuple[int, ...] = (),
+    aux_compact_caps: Tuple[int, ...] = (),
 ):
     """Build the per-step generic/coupled lane scan body (shared by the monolithic
     driver below and the segmented/checkpointed runner in utils/checkpoint.py).
@@ -421,7 +423,7 @@ def make_generic_lane_step(
             pb, nom_cfg, w=w_nom, bp=bp_nom,
             x_hat0=x_hat_bar, U_init=state.U_nom_ws,
             X_ref=X_ref_nom, U_ref=U_ref_nom,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, interpret=interpret, compact_caps=nom_compact_caps,
         )
         X_ref = X_nom[..., :nx]
 
@@ -430,7 +432,7 @@ def make_generic_lane_step(
             pb, aux_cfg, w=w_aux, bp=bp_aux,
             x_hat0=x_hat, U_init=state.U_aux_ws,
             X_ref=X_ref, U_ref=U_nom,
-            block_b=block_b, interpret=interpret,
+            block_b=block_b, interpret=interpret, compact_caps=aux_compact_caps,
         )
 
         dx = X_aux[..., :nx] - X_ref
@@ -594,6 +596,8 @@ def run_generic_closed_loop_lanes(
     barrier_type: str = "inverse",
     block_b: int = 4096,
     interpret: bool = False,
+    nom_compact_caps: Tuple[int, ...] = (),
+    aux_compact_caps: Tuple[int, ...] = (),
 ) -> Tuple[ClosedLoopLog, Tuple[RawAuxTheta, RawNominalTheta]]:
     """Generic-path (raw-reparameterized θ, adaptive barrier α/γ) closed loop on the
     fused lane kernels — the reference's ``run_closed_loop_experiment`` with
@@ -634,6 +638,7 @@ def run_generic_closed_loop_lanes(
     step = make_generic_lane_step(
         system, aug, pb, cfg, target=target, B=B, dtype=dtype,
         block_b=block_b, interpret=interpret,
+        nom_compact_caps=nom_compact_caps, aux_compact_caps=aux_compact_caps,
     )
     init = generic_lane_init_state(
         system, aug, cfg, raw_nom=raw_nom, raw_aux_init=raw_aux_init,
