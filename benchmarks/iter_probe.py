@@ -87,9 +87,10 @@ def main() -> None:
     it_aux = np.asarray(it_aux)
 
     def stats(it, max_iter):
-        # batch cost per step: the while_loop runs max(lane)+1 trips (one to see
-        # convergence), capped at max_iter
-        cost = np.minimum(it.max(axis=1) + 1, max_iter)
+        # batch cost per step = max over lanes: every executed trip has >=1 live
+        # lane and each live lane counts it, so max(lane_it) == executed trips
+        # (pinned by tests/test_lane_solver.py::TestIterTelemetry)
+        cost = it.max(axis=1)
         return {
             "mean_lane_iters": round(float(it.mean()), 3),
             "p50_lane_iters": round(float(np.median(it)), 1),
@@ -99,11 +100,57 @@ def main() -> None:
             "steps_at_max_iter": int((cost >= max_iter).sum()),
         }
 
+    def simulate_caps(it, max_iter, caps):
+        """Replay the measured per-lane trip counts through the staged-width cost
+        model of lane_ilqr_solve(compact_caps=caps). Returns cost in units of
+        full-batch trips (uncompacted cost per step = max(lane_it): every executed
+        trip has >=1 live lane). Mirrors the stage semantics exactly: width halves
+        at each cap only when the unconverged lanes fit, else that stage falls
+        back to full width (and the next stage tries the next halving)."""
+        Bn = it.shape[1]
+        total = 0.0
+        for step_it in it:
+            # lane l is live on trip t (1-indexed) iff step_it[l] >= t
+            caps_full = list(caps) + [max_iter]
+            t = 0
+            cost = 0.0
+            width = Bn
+            for si, cap in enumerate(caps_full):
+                if si > 0:
+                    W = max(128, Bn >> si)
+                    if W < width and int((step_it > t).sum()) <= W:
+                        width = W
+                while t < cap and int((step_it > t).sum()) > 0:
+                    cost += width / Bn
+                    t += 1
+            total += cost
+        return round(float(total), 1)
+
+    def schedule_scan(it, max_iter):
+        """Candidate compact_caps schedules scored by the simulator."""
+        base = simulate_caps(it, max_iter, [])
+        qs = np.percentile(it, [50, 75, 90]).astype(int)
+        cands = {
+            f"({qs[0]},)": [int(qs[0])],
+            f"({qs[1]},)": [int(qs[1])],
+            f"({qs[0]},{qs[1]})": [int(qs[0]), int(qs[1])],
+            f"({qs[0]},{qs[1]},{qs[2]})": [int(qs[0]), int(qs[1]), int(qs[2])],
+        }
+        out = {"uncompacted_trips": base}
+        for name, caps in cands.items():
+            c = simulate_caps(it, max_iter, [v for v in caps if v < max_iter])
+            out[name] = {"trips": c, "speedup_x": round(base / max(c, 1e-9), 3)}
+        return out
+
     print(json.dumps({
         "batch": B, "steps": H, "clip": args.clip,
         "max_iter": {"nominal": cfg.nominal_max_iter, "aux": cfg.aux_max_iter},
         "nominal": stats(it_nom, cfg.nominal_max_iter),
         "aux": stats(it_aux, cfg.aux_max_iter),
+        "compact_schedule_sim": {
+            "nominal": schedule_scan(it_nom, cfg.nominal_max_iter),
+            "aux": schedule_scan(it_aux, cfg.aux_max_iter),
+        },
     }, indent=2))
 
 
