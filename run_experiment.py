@@ -32,6 +32,11 @@ def main() -> None:
     ap.add_argument("--engine", choices=("xla", "lanes"), default="xla",
                     help="'lanes' = fused lane-major Pallas pipeline (paper path; "
                          "f32 throughput flagship, ~550000x the reference CPU)")
+    ap.add_argument("--compact-caps", type=str, default=None, metavar="C1,C2[;N1]",
+                    help="lanes engine: straggler-compaction iteration caps for the "
+                         "aux (and after ';' the nominal) solves — halves the "
+                         "working batch width at each cap, bitwise-identical "
+                         "results (see docs/PERFORMANCE.md)")
     args = ap.parse_args()
     if args.batch is not None and args.batch < 1:
         ap.error("--batch must be >= 1")
@@ -67,11 +72,13 @@ def main() -> None:
         with trace(args.profile):
             results = run_experiment(cfg, run_dir, batch=args.batch,
                                      checkpoint_every=args.checkpoint_every,
-                                     engine=args.engine)
+                                     engine=args.engine,
+                                     compact_caps=args.compact_caps)
     else:
         results = run_experiment(cfg, run_dir, batch=args.batch,
                                  checkpoint_every=args.checkpoint_every,
-                                 engine=args.engine)
+                                 engine=args.engine,
+                                 compact_caps=args.compact_caps)
 
     with open(args.config, "r", encoding="utf-8") as f:
         import yaml

@@ -28,7 +28,8 @@ from .systems.obstacles import h_min
 def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
                    batch: Optional[int] = None,
                    checkpoint_every: Optional[int] = None,
-                   engine: str = "xla") -> Dict[str, Any]:
+                   engine: str = "xla",
+                   compact_caps=None) -> Dict[str, Any]:
     """Closed-loop adaptive tube MPC; returns the results summary (also written to
     run_dir). Paper mode when paper_dubins_mode and not adapt_nominal
     (reference dispatch tube_mpc.py:48-49).
@@ -43,7 +44,11 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     steps, persisting the full carry to <run_dir>/ckpt (utils/checkpoint.py); a
     killed run re-launched with the same run_dir resumes bit-exactly. Covered:
     XLA paper single-trajectory, and every lane-engine mode (paper / generic /
-    coupled, any batch)."""
+    coupled, any batch).
+
+    compact_caps (lanes engine): "c1,c2[;n1,n2]" — bitwise-identical straggler
+    compaction caps for the aux (and optionally nominal) solves
+    (ops/pallas/lane_solver.lane_ilqr_solve)."""
     paper_mode = cfg.paper_dubins_mode and not cfg.adaptation.adapt_nominal
     built = build_experiment(cfg, paper_mode=paper_mode)
     key = jax.random.PRNGKey(cfg.seed)
@@ -53,9 +58,12 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     if engine == "lanes":
         return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq,
                                      B=max(B, 1), paper_mode=paper_mode,
-                                     checkpoint_every=checkpoint_every)
+                                     checkpoint_every=checkpoint_every,
+                                     compact_caps=compact_caps)
     if engine != "xla":
         raise ValueError(f"unknown engine {engine!r} (xla or lanes)")
+    if compact_caps:
+        raise ValueError("compact_caps is a lanes-engine feature (--engine lanes)")
     if checkpoint_every:
         if not paper_mode or B > 1 or w_seq is not None:
             raise ValueError("checkpoint_every requires paper mode, single trajectory")
@@ -184,7 +192,8 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
 
 def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir: str,
                           *, key, w_seq, B: int, paper_mode: bool = True,
-                          checkpoint_every: Optional[int] = None) -> Dict[str, Any]:
+                          checkpoint_every: Optional[int] = None,
+                          compact_caps=None) -> Dict[str, Any]:
     """Closed loop on the fused lane Pallas pipeline (the throughput flagship; see
     tube/lane_closed_loop.py) — paper path or the uncoupled generic path
     (raw-reparameterized θ with adaptive barrier α/γ). B lanes advance together;
@@ -230,6 +239,12 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     # virtual meshes) run the same kernels in interpret mode automatically.
     interpret = jax.default_backend() == "cpu"
     lane_kw = dict(interpret=interpret)
+    if compact_caps:
+        # "c1,c2[;n1,n2]": aux caps, optionally nominal caps after ';'
+        parts = str(compact_caps).split(";")
+        lane_kw["aux_compact_caps"] = tuple(int(c) for c in parts[0].split(",") if c)
+        if len(parts) > 1:
+            lane_kw["nom_compact_caps"] = tuple(int(c) for c in parts[1].split(",") if c)
 
     t0 = time.perf_counter()
     if paper_mode and checkpoint_every:

@@ -192,6 +192,8 @@ def run_paper_closed_loop_lanes_checkpointed(
     population: bool = False,
     block_b: int = 4096,
     interpret: bool = False,
+    nom_compact_caps=(),
+    aux_compact_caps=(),
 ) -> ClosedLoopLog:
     """Segmented, resumable version of the BATCHED lane-engine closed loop
     (tube/lane_closed_loop.run_paper_closed_loop_lanes): the full [B, ...] carry —
@@ -221,6 +223,7 @@ def run_paper_closed_loop_lanes_checkpointed(
     step = make_paper_lane_step(
         system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
         B=B, dtype=dtype, population=population, block_b=block_b, interpret=interpret,
+        nom_compact_caps=tuple(nom_compact_caps), aux_compact_caps=tuple(aux_compact_caps),
     )
 
     @jax.jit
@@ -288,6 +291,8 @@ def run_generic_closed_loop_lanes_checkpointed(
     barrier_type: str = "inverse",
     block_b: int = 4096,
     interpret: bool = False,
+    nom_compact_caps=(),
+    aux_compact_caps=(),
 ):
     """Segmented, resumable GENERIC/COUPLED lane-engine closed loop
     (tube/lane_closed_loop.run_generic_closed_loop_lanes): the [B, ...] carry —
@@ -314,6 +319,7 @@ def run_generic_closed_loop_lanes_checkpointed(
     step = make_generic_lane_step(
         system, aug, pb, cfg, target=target, B=B, dtype=dtype,
         block_b=block_b, interpret=interpret,
+        nom_compact_caps=tuple(nom_compact_caps), aux_compact_caps=tuple(aux_compact_caps),
     )
 
     @jax.jit
