@@ -100,28 +100,45 @@ def main() -> None:
             "steps_at_max_iter": int((cost >= max_iter).sum()),
         }
 
-    def simulate_caps(it, max_iter, caps):
+    def simulate_caps(it, max_iter, caps, block_b=4096):
         """Replay the measured per-lane trip counts through the staged-width cost
         model of lane_ilqr_solve(compact_caps=caps). Returns cost in units of
-        full-batch trips (uncompacted cost per step = max(lane_it): every executed
-        trip has >=1 live lane). Mirrors the stage semantics exactly: width halves
-        at each cap only when the unconverged lanes fit, else that stage falls
-        back to full width (and the next stage tries the next halving)."""
+        full-batch (B_pad-wide) trips (uncompacted cost per step = max(lane_it):
+        every executed trip has >=1 live lane). Mirrors the solver's width
+        computation exactly — B_pad lane padding, stage widths B_pad >> si rounded
+        up to a multiple of the stage's block width, the W >= B_pad full-width
+        skip, and the per-stage fallback to FULL width (not the previous stage's
+        width) when the unconverged lanes don't fit. Pad lanes start converged
+        (done0 in lane_ilqr_solve) so they never appear in the live count."""
         Bn = it.shape[1]
+        Bt = min(block_b, max(128, ((Bn + 127) // 128) * 128))
+        B_pad = ((Bn + Bt - 1) // Bt) * Bt
+        caps_eff = [c for c in caps if c < max_iter]
         total = 0.0
         for step_it in it:
-            # lane l is live on trip t (1-indexed) iff step_it[l] >= t
-            caps_full = list(caps) + [max_iter]
+            # lane l is live on trip t (0-indexed trips executed so far) iff
+            # step_it[l] > t
+            live = lambda t: int((step_it > t).sum())
             t = 0
             cost = 0.0
-            width = Bn
-            for si, cap in enumerate(caps_full):
-                if si > 0:
-                    W = max(128, Bn >> si)
-                    if W < width and int((step_it > t).sum()) <= W:
-                        width = W
-                while t < cap and int((step_it > t).sum()) > 0:
-                    cost += width / Bn
+            # stage 0: full width until the first cap (or max_iter when uncapped)
+            cap0 = caps_eff[0] if caps_eff else max_iter
+            while t < cap0 and live(t) > 0:
+                cost += 1.0
+                t += 1
+            rest = caps_eff[1:] + ([max_iter] if caps_eff else [])
+            for si, cap in enumerate(rest):
+                W = max(128, B_pad >> (si + 1))
+                Wt = min(Bt, W)
+                W = ((W + Wt - 1) // Wt) * Wt
+                if W >= B_pad:
+                    width = B_pad       # can't narrow below one tile: full width
+                elif live(t) <= W:
+                    width = W           # compacted stage
+                else:
+                    width = B_pad       # lax.cond fallback is the FULL-width loop
+                while t < cap and live(t) > 0:
+                    cost += width / B_pad
                     t += 1
             total += cost
         return round(float(total), 1)

@@ -1,5 +1,6 @@
 """Every shipped config builds and runs the closed loop end-to-end (shrunken sizes)."""
 import copy
+import os
 
 import numpy as np
 import pytest
@@ -46,3 +47,34 @@ def test_singular_obstacle_key(tmp_path):
     assert cfg.environment.obstacle_aggregation == "single"
     out = run_experiment(cfg, str(tmp_path / "single_obs"))
     assert np.isfinite(out["summary"]["final_loss"])
+
+
+def test_lane_engine_envelope_rejected_at_build_time():
+    """nu > 2 must be rejected with a friendly error BEFORE kernel trace
+    (utils/config.validate_for_engine; VERDICT r3 item 8)."""
+    import types
+
+    from tube_mpc_tpu.utils.config import validate_for_engine
+
+    fake = types.SimpleNamespace(
+        system=types.SimpleNamespace(nu=3),
+        cfg=types.SimpleNamespace(system=types.SimpleNamespace(name="wide_arm")),
+    )
+    with pytest.raises(ValueError, match="nu <= 2.*--engine xla"):
+        validate_for_engine(fake, "lanes")
+    # other engines have no lane envelope
+    validate_for_engine(fake, "xla")
+
+
+def test_headline_numbers_docs_in_sync():
+    """Every doc's headline-number region must be generated from docs/numbers.json
+    (tools/render_numbers.py --check; VERDICT r3 item 7: one source of truth)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "tools/render_numbers.py", "--check"],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stderr

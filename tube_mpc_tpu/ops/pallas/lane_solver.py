@@ -439,12 +439,18 @@ def lane_ilqr_solve(
 
         return cond, body
 
+    # Pad lanes start done=True: they solve a synthetic unit-weight problem and
+    # are sliced off at the end, so letting them count as "unconverged" would
+    # only prolong the while_loop and veto compaction stages for
+    # non-block-aligned B (real lanes are frozen once done, so earlier loop
+    # exit leaves their results bitwise unchanged).
+    done0 = jnp.arange(B_pad) >= B
     init = (
         jnp.asarray(0),
         X0,
         U0,
         jnp.full((B_pad,), jnp.inf, dtype=dtype),
-        jnp.zeros((B_pad,), dtype=bool),
+        done0,
     )
     if with_lane_iters:
         init += (jnp.zeros((B_pad,), dtype=jnp.int32),)

@@ -56,6 +56,9 @@ def run_experiment(cfg: ExperimentConfig, run_dir: str, *, w_seq=None,
     if B > 1 and w_seq is not None:
         raise ValueError("batch mode samples disturbances; don't pass w_seq")
     if engine == "lanes":
+        from .utils.config import validate_for_engine
+
+        validate_for_engine(built, "lanes")
         return _run_experiment_lanes(cfg, built, run_dir, key=key, w_seq=w_seq,
                                      B=max(B, 1), paper_mode=paper_mode,
                                      checkpoint_every=checkpoint_every,
@@ -235,9 +238,10 @@ def _run_experiment_lanes(cfg: ExperimentConfig, built: BuiltExperiment, run_dir
     if w_seq is not None and w_seq.ndim == 2:
         w_seq = w_seq[None]
 
-    # Mosaic kernels only compile for TPU; on a CPU backend (verification drives,
-    # virtual meshes) run the same kernels in interpret mode automatically.
-    interpret = jax.default_backend() == "cpu"
+    # Mosaic kernels only compile for TPU; on any other backend (CPU
+    # verification drives, virtual meshes, GPU-default processes) run the same
+    # kernels in interpret mode automatically.
+    interpret = jax.default_backend() != "tpu"
     lane_kw = dict(interpret=interpret)
     if compact_caps:
         # "c1,c2[;n1,n2]": aux caps, optionally nominal caps after ';'

@@ -170,6 +170,37 @@ class BuiltExperiment:
     field: Optional[CircleField]
 
 
+#: The fused lane kernels use closed-form Q_uu inverses for nu in {1, 2}
+#: (ops/pallas/lane_solver.py); wider control spaces need the XLA engine.
+LANE_ENGINE_MAX_NU = 2
+
+
+def validate_for_engine(built: "BuiltExperiment", engine: str) -> None:
+    """Reject configurations outside an engine's envelope at BUILD time, with an
+    actionable message — instead of letting the user hit an opaque Mosaic error
+    at kernel trace time. Called by runners.run_experiment before dispatch."""
+    if engine != "lanes":
+        return
+    nu = built.system.nu
+    if nu > LANE_ENGINE_MAX_NU:
+        raise ValueError(
+            f"engine='lanes' supports nu <= {LANE_ENGINE_MAX_NU} control dims "
+            f"(closed-form Q_uu inverses in the fused kernels, "
+            f"ops/pallas/lane_solver.py); system {built.cfg.system.name!r} has "
+            f"nu={nu}. Use --engine xla for this system — it runs the same "
+            f"solver semantics on the vmapped XLA path."
+        )
+    import jax as _jax
+
+    if _jax.config.jax_enable_x64 and _jax.default_backend() == "tpu":
+        raise ValueError(
+            "engine='lanes' cannot run with jax_enable_x64 on TPU: the Mosaic "
+            "kernel compiler has no 64-bit support (it aborts even on f32 data). "
+            "Leave x64 off — the lanes engine is the f32 throughput path "
+            "(run_experiment.py handles this automatically)."
+        )
+
+
 def build_experiment(cfg: ExperimentConfig, *, paper_mode: Optional[bool] = None) -> BuiltExperiment:
     dtype = cfg.dtype
     sc = cfg.system
