@@ -41,6 +41,8 @@ def _di_setup(H=10, N=8):
 
 class TestCheckpoint:
     def test_segmented_matches_monolithic_and_resumes(self, tmp_path):
+        # segment_len divides H so only ONE scan length is compiled (a trailing
+        # remainder segment would cost a second compile for no extra coverage)
         system, aug, cfg, kw = _di_setup(H=10)
         key = jax.random.PRNGKey(7)
 
@@ -48,20 +50,20 @@ class TestCheckpoint:
 
         d1 = str(tmp_path / "ck1")
         seg = run_paper_closed_loop_checkpointed(
-            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=3, **kw
+            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=5, **kw
         )
         np.testing.assert_array_equal(np.asarray(seg.u_real), np.asarray(mono.u_real))
         np.testing.assert_array_equal(np.asarray(seg.Q_hist), np.asarray(mono.Q_hist))
 
-        # simulate a crash: delete the final checkpoints, resume from step 6
-        for t in (9, 10):
+        # simulate a crash: delete the final checkpoint, resume from step 5
+        for t in (10,):
             for p in (f"state_{t}.npz", f"logs_{t}.npz"):
                 f = os.path.join(d1, p)
                 if os.path.exists(f):
                     os.remove(f)
-        assert latest_checkpoint(d1).endswith("state_6.npz")
+        assert latest_checkpoint(d1).endswith("state_5.npz")
         resumed = run_paper_closed_loop_checkpointed(
-            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=3, **kw
+            system, aug, cfg, key=key, ckpt_dir=d1, segment_len=5, **kw
         )
         np.testing.assert_array_equal(np.asarray(resumed.u_real), np.asarray(mono.u_real))
         np.testing.assert_array_equal(np.asarray(resumed.loss), np.asarray(mono.loss))

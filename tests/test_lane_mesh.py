@@ -83,3 +83,71 @@ def test_lane_mesh_population_matches_single_device():
     # θ actually moved (otherwise the sync invariant is vacuous)
     assert np.max(np.abs(np.asarray(sharded.Q_hist[:, -1])
                          - np.asarray(s.aux_init.Q))) > 0
+
+
+@pytest.mark.parametrize("population", [False, True])
+def test_lane_mesh_checkpoint_resume_bit_exact(tmp_path, population):
+    """Sharded AND resumable (VERDICT r3 item 6): the segmented shard_map'd lane
+    driver must equal the monolithic sharded driver, and a killed sweep must
+    resume bit-exactly from the last segment boundary on the same 8-device mesh."""
+    import os
+
+    from tube_mpc_tpu.utils.checkpoint import (
+        latest_checkpoint,
+        run_paper_closed_loop_lanes_sharded_checkpointed,
+    )
+
+    s, sys_c = _setup()
+    B = 16
+    w_seqs = s.system.sample_disturbance(jax.random.PRNGKey(2), (B, s.cfg.H), dtype=F64)
+    kw = dict(w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
+              x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+              population=population, block_b=8, interpret=True)
+    mesh = make_mesh()
+    assert mesh.size == 8
+
+    mono = run_paper_closed_loop_lanes_sharded(
+        s.system, s.aug, sys_c, s.cfg, mesh=mesh, **kw)
+
+    d1 = str(tmp_path / "ck")
+    full = run_paper_closed_loop_lanes_sharded_checkpointed(
+        s.system, s.aug, sys_c, s.cfg, mesh=mesh, ckpt_dir=d1, segment_len=2, **kw)
+    # segmented vs monolithic sharded: same scan body per segment
+    for f in ClosedLoopLog._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(full, f)), np.asarray(getattr(mono, f)),
+            rtol=1e-9, atol=1e-11, err_msg=f)
+
+    # simulate a crash: drop the final checkpoint, resume from step 2
+    for t in (4,):
+        for p in (f"state_{t}.npz", f"logs_{t}.npz", f"state_{t}.npz.meta.json"):
+            fpath = os.path.join(d1, p)
+            if os.path.exists(fpath):
+                os.remove(fpath)
+    assert latest_checkpoint(d1).endswith("state_2.npz")
+    resumed = run_paper_closed_loop_lanes_sharded_checkpointed(
+        s.system, s.aug, sys_c, s.cfg, mesh=mesh, ckpt_dir=d1, segment_len=2, **kw)
+    for f in ClosedLoopLog._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(resumed, f)), np.asarray(getattr(full, f)), err_msg=f)
+
+    # a different mesh size must be REJECTED by the fingerprint, not silently
+    # re-sharded (results would no longer be bitwise comparable)
+    import json
+
+    meta = os.path.join(d1, "state_2.npz.meta.json")
+    with open(meta) as fh:
+        fp = json.load(fh)
+    fp["mesh_devices"] = 4
+    with open(meta, "w") as fh:
+        json.dump(fp, fh)
+    # drop later checkpoints so resume starts from the tampered one
+    for t in (4,):
+        for p in (f"state_{t}.npz", f"logs_{t}.npz", f"state_{t}.npz.meta.json"):
+            fpath = os.path.join(d1, p)
+            if os.path.exists(fpath):
+                os.remove(fpath)
+    with pytest.raises(ValueError, match="different run"):
+        run_paper_closed_loop_lanes_sharded_checkpointed(
+            s.system, s.aug, sys_c, s.cfg, mesh=mesh, ckpt_dir=d1,
+            segment_len=2, **kw)

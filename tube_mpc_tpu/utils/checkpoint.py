@@ -63,18 +63,35 @@ def _logs_path(state_path: str) -> str:
     return os.path.join(d, base.replace("state_", "logs_", 1))
 
 
-def _run_fingerprint(w, H: int) -> dict:
-    """Identity of a checkpointed run: shapes + a content hash of the disturbance
-    stream. Resuming with different inputs would silently concatenate inconsistent
+def _run_fingerprint(w, H: int, *, cfg=None, inputs=None) -> dict:
+    """Identity of a checkpointed run: shapes + content hashes of the disturbance
+    stream, the run-defining config (solver iters/tol, adaptation lr/momentum,
+    barrier params, ...), and the run-defining input pytree (initial carry incl.
+    θ init, plus fixed references like target/w_nominal). Resuming with any of
+    these changed in the same ckpt_dir would silently concatenate inconsistent
     logs; save_state stores this via its extra= hook and resume verifies it."""
     import hashlib
 
     arr = np.asarray(w)
-    return {
+    fp = {
         "H": int(H),
         "w_shape": list(arr.shape),
         "w_sha1": hashlib.sha1(arr.tobytes()).hexdigest()[:16],
     }
+    if cfg is not None:
+        # dataclass reprs are deterministic for the scalar/tuple fields configs hold
+        fp["cfg_sha1"] = hashlib.sha1(repr(cfg).encode()).hexdigest()[:16]
+    if inputs is not None:
+        h = hashlib.sha1()
+        flat = _flatten(inputs)
+        for k in sorted(flat):
+            a = np.asarray(flat[k])
+            h.update(k.encode())
+            h.update(str(a.dtype).encode())
+            h.update(str(a.shape).encode())
+            h.update(a.tobytes())
+        fp["inputs_sha1"] = h.hexdigest()[:16]
+    return fp
 
 
 def _check_fingerprint(ck: str, fp: dict) -> None:
@@ -138,7 +155,8 @@ def run_paper_closed_loop_checkpointed(
 
     template = paper_init_state(system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0)
 
-    fp = _run_fingerprint(w_seq, H)
+    fp = _run_fingerprint(w_seq, H, cfg=cfg,
+                          inputs=(template, w_nominal, bp, target))
     start = 0
     state = template
     logs_so_far: list = []
@@ -235,7 +253,8 @@ def run_paper_closed_loop_lanes_checkpointed(
         population=population,
     )
 
-    fp = _run_fingerprint(w_seqs, H)
+    fp = _run_fingerprint(w_seqs, H, cfg=cfg,
+                          inputs=(template, w_nominal, bp, target))
     start = 0
     state = template
     logs_so_far: list = []
@@ -268,6 +287,132 @@ def run_paper_closed_loop_lanes_checkpointed(
 
     merged = logs_so_far[0]
     # time-major -> batch-major, matching run_paper_closed_loop_lanes
+    return ClosedLoopLog(*[jnp.swapaxes(getattr(merged, f), 0, 1)
+                           for f in ClosedLoopLog._fields])
+
+
+def run_paper_closed_loop_lanes_sharded_checkpointed(
+    system,
+    aug,
+    sys_c,
+    cfg,
+    *,
+    w_nominal,
+    aux_init,
+    bp,
+    x0,
+    target,
+    w_seqs,            # [B, H, nx] global batch
+    mesh,
+    ckpt_dir: str,
+    segment_len: int = 50,
+    eps: float = 1e-4,
+    barrier_type: str = "inverse",
+    population: bool = False,
+    block_b: int = 4096,
+    interpret: bool = False,
+) -> ClosedLoopLog:
+    """Segmented, resumable version of the SHARDED flagship lane driver
+    (tube/lane_closed_loop.run_paper_closed_loop_lanes_sharded) — the realistic
+    deployment shape: a long multi-chip sweep that survives preemption
+    (BASELINE.json configs item 5). Each segment is one jitted shard_map'd scan
+    over the mesh's scenario axis; at segment boundaries the GLOBAL carry — every
+    lane's state and warm starts, per-lane θ (independent mode) or the
+    psum-replicated shared θ (population mode) — is gathered to host and
+    persisted, so a killed fleet run resumes bit-exactly on the same mesh.
+    The fingerprint additionally pins mesh size and population mode: resuming a
+    sweep on a different device count would re-shard the lanes (equal to 1e-10
+    by the mesh-invariance tests, but not bitwise) and is rejected.
+
+    Returns a ClosedLoopLog with leading batch dim [B, H, ...], equal to the
+    monolithic sharded driver (tests/test_lane_mesh.py).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..tube.lane_closed_loop import (
+        make_paper_lane_step,
+        paper_lane_init_state,
+    )
+    from ..tube.lane_interface import make_lane_problem
+
+    H = cfg.H
+    B = w_seqs.shape[0]
+    n_dev = mesh.size
+    if B % n_dev != 0:
+        raise ValueError(f"global batch {B} not divisible by mesh size {n_dev}")
+    b_local = B // n_dev
+    axis = mesh.axis_names[0]
+    dtype = w_seqs.dtype
+    nx = system.nx
+    if x0.ndim == 1:
+        x0 = jnp.broadcast_to(x0, (B, nx))
+
+    pb = make_lane_problem(sys_c, barrier_type=barrier_type, eps=eps)
+    step = make_paper_lane_step(
+        system, aug, pb, cfg, w_nominal=w_nominal, bp=bp, target=target,
+        B=b_local, dtype=dtype, population=population, block_b=block_b,
+        interpret=interpret, axis_name=axis if population else None,
+    )
+
+    # Global-template carry: batch-leading leaves shard over the scenario axis;
+    # population-mode shared θ (no batch dim) stays replicated (kept in sync by
+    # the in-scan psum, so taking any device's copy at the out barrier is exact).
+    template = paper_lane_init_state(
+        system, aug, cfg, aux_init=aux_init, bp=bp, x0=x0, B=B, dtype=dtype,
+        population=population,
+    )
+    state_spec = jax.tree.map(
+        lambda l: P(axis) if (getattr(l, "ndim", 0) > 0 and l.shape[0] == B) else P(),
+        template,
+    )
+
+    def seg(state, w_tm_shard):   # w_tm_shard: [seg, b_local, nx]
+        return jax.lax.scan(step, state, w_tm_shard)
+
+    run_segment = jax.jit(jax.shard_map(
+        seg, mesh=mesh,
+        in_specs=(state_spec, P(None, axis)),
+        out_specs=(state_spec, P(None, axis)),
+        check_vma=False,
+    ))
+
+    w_tm = jnp.swapaxes(w_seqs, 0, 1)  # [H, B, nx]
+    fp = _run_fingerprint(w_seqs, H, cfg=cfg,
+                          inputs=(template, w_nominal, bp, target))
+    fp["mesh_devices"] = int(n_dev)
+    fp["population"] = bool(population)
+
+    start = 0
+    state = template
+    logs_so_far: list = []
+    ck = latest_checkpoint(ckpt_dir)
+    if ck is not None:
+        _check_fingerprint(ck, fp)
+        state, start = load_state(ck, template)
+        saved_logs = np.load(_logs_path(ck), allow_pickle=False)
+        logs_so_far = [
+            ClosedLoopLog(*[jnp.asarray(saved_logs[name]) for name in ClosedLoopLog._fields])
+        ]
+
+    t = start
+    while t < H:
+        seg_n = min(segment_len, H - t)
+        state, logs = run_segment(state, w_tm[t : t + seg_n])
+        logs = ClosedLoopLog(*logs)   # time-major [seg, B, ...]
+        logs_so_far.append(logs)
+        t += seg_n
+        merged = ClosedLoopLog(
+            *[jnp.concatenate([getattr(l, f) for l in logs_so_far], axis=0)
+              for f in ClosedLoopLog._fields]
+        )
+        logs_so_far = [merged]
+        save_state(os.path.join(ckpt_dir, f"state_{t}.npz"), state, step=t, extra=fp)
+        np.savez(
+            os.path.join(ckpt_dir, f"logs_{t}.npz"),
+            **{f: np.asarray(getattr(merged, f)) for f in ClosedLoopLog._fields},
+        )
+
+    merged = logs_so_far[0]
     return ClosedLoopLog(*[jnp.swapaxes(getattr(merged, f), 0, 1)
                            for f in ClosedLoopLog._fields])
 
@@ -331,7 +476,7 @@ def run_generic_closed_loop_lanes_checkpointed(
         x0=x0, B=B, dtype=dtype,
     )
 
-    fp = _run_fingerprint(w_seqs, H)
+    fp = _run_fingerprint(w_seqs, H, cfg=cfg, inputs=(template, target))
     start = 0
     state = template
     logs_so_far: list = []
