@@ -21,12 +21,65 @@ stayed numerically healthy to the end (see BASELINE.md on long-horizon f32).
 import json
 import os
 import statistics
+import subprocess
+import sys
 import time
 
 REF_CPU_SOLVES_PER_SEC = 0.956  # measured; see BASELINE.md / tools/measure_reference.py
 
+# Backend-probe resilience (round-3 post-mortem: one tunnel blip at the first
+# device op left the round with rc=1 and an unparseable traceback tail —
+# BENCH_r03.json). The probe runs `jax.devices()` + one tiny device op in a
+# SUBPROCESS with a hard timeout (a downed tunnel makes jax.devices() *hang*,
+# not raise), retrying with backoff. On final failure main() still prints ONE
+# parseable JSON line naming the cause and exits 0, so the captured artifact
+# is always machine-readable.
+PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 180))
+PROBE_BACKOFF_S = (10.0, 45.0)  # sleep after attempt 1, 2, ...
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp; d = jax.devices();"
+    "x = jnp.ones((4, 4)); jax.block_until_ready(x @ x);"
+    "print('PROBE_OK', d[0].platform, len(d))"
+)
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Bounded-retry device probe in a subprocess. Returns (ok, detail)."""
+    detail = ""
+    for attempt in range(PROBE_ATTEMPTS):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True, r.stdout.strip().splitlines()[-1]
+            detail = (r.stderr.strip().splitlines() or ["unknown probe failure"])[-1]
+        except subprocess.TimeoutExpired:
+            detail = f"probe timed out after {PROBE_TIMEOUT_S:.0f}s (backend hang)"
+        if attempt < PROBE_ATTEMPTS - 1:
+            time.sleep(PROBE_BACKOFF_S[min(attempt, len(PROBE_BACKOFF_S) - 1)])
+    return False, detail
+
+
+def _emit_failure(cause: str) -> None:
+    print(json.dumps({
+        "metric": "tube_mpc_solves_per_sec_per_chip_dubins_T50",
+        "value": None,
+        "unit": "solves/s",
+        "vs_baseline": None,
+        "error": cause,
+    }))
+
 
 def main() -> None:
+    ok, detail = _probe_backend()
+    if not ok:
+        _emit_failure(f"backend_unavailable after {PROBE_ATTEMPTS} probe attempts: {detail}")
+        return
+
     import jax
 
     # Persistent compile cache: kernel compilation dominates bench wall time
@@ -158,4 +211,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # tunnel death mid-run, compile failure, OOM, ...
+        _emit_failure(f"{type(exc).__name__}: {exc}")
