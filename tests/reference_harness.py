@@ -21,7 +21,14 @@ def import_reference():
     return sys.modules["diff_tube_mpc_strict_pt"]
 
 
-_ORACLE_CACHE = os.environ.get("TUBE_MPC_ORACLE_CACHE", "/tmp/tube_mpc_oracle_cache")
+# Default cache is COMMITTED test data (tests/oracle_fixtures/) so the fast
+# tier is fast on a fresh clone — round 3 measured ~10 min cold vs ~4 min warm
+# because the default used to live in /tmp. Point TUBE_MPC_ORACLE_CACHE
+# elsewhere (or delete files here) to force fresh oracle runs.
+_ORACLE_CACHE = os.environ.get(
+    "TUBE_MPC_ORACLE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_fixtures"),
+)
 
 
 def cached_oracle(key: str, compute):
