@@ -134,7 +134,24 @@ def main() -> None:
         "metrics": {},
         "ours_wall_s": round(ours_wall, 1),
     }
-    # binomial noise at ref_seeds=8 is ~0.17 std; require rates within 0.25
+    def wilson_ci(p: float, n: int, z: float = 1.96) -> list:
+        """95% Wilson score interval for a binomial rate (no scipy needed)."""
+        denom = 1.0 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+        return [round(float(max(0.0, center - half)), 4),
+                round(float(min(1.0, center + half)), 4)]
+
+    for rate in ("goal_rate", "collision_rate"):
+        r = report[rate]
+        r["ref_ci95_wilson"] = wilson_ci(r["ref"], args.ref_seeds)
+        r["ours_ci95_wilson"] = wilson_ci(r["ours"], args.our_seeds)
+        r["ci_overlap"] = bool(r["ref_ci95_wilson"][0] <= r["ours_ci95_wilson"][1]
+                               and r["ours_ci95_wilson"][0] <= r["ref_ci95_wilson"][1])
+
+    # Rate gate: coarse ±0.25 tolerance (binomial noise dominates at small n; the
+    # Wilson CIs above are the honest statement — disjoint CIs on a rare tail
+    # event like goal_rate are REPORTED, not hidden, even when the gate passes).
     all_ok = (abs(report["goal_rate"]["ref"] - report["goal_rate"]["ours"]) <= 0.25
               and abs(report["collision_rate"]["ref"] - report["collision_rate"]["ours"]) <= 0.25)
     for mname in scalar_metrics:
