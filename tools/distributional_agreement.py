@@ -50,6 +50,15 @@ GOAL_RADIUS = 0.25
 OBS = [(4.0, 2.0), (2.0, 4.0), (4.0, 8.0), (8.0, 4.0), (6.0, 6.0)]
 
 
+def wilson_ci(p: float, n: int, z: float = 1.96) -> list:
+    """95% Wilson score interval for a binomial rate (no scipy needed)."""
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return [round(float(max(0.0, center - half)), 4),
+            round(float(min(1.0, center + half)), 4)]
+
+
 def run_stats(x_real: np.ndarray, x_bar: np.ndarray, loss: np.ndarray) -> dict:
     dist = np.linalg.norm(x_real[:, :2] - GOAL[None], axis=-1)
     reached = dist <= GOAL_RADIUS
@@ -134,14 +143,6 @@ def main() -> None:
         "metrics": {},
         "ours_wall_s": round(ours_wall, 1),
     }
-    def wilson_ci(p: float, n: int, z: float = 1.96) -> list:
-        """95% Wilson score interval for a binomial rate (no scipy needed)."""
-        denom = 1.0 + z * z / n
-        center = (p + z * z / (2 * n)) / denom
-        half = z * np.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
-        return [round(float(max(0.0, center - half)), 4),
-                round(float(min(1.0, center + half)), 4)]
-
     for rate in ("goal_rate", "collision_rate"):
         r = report[rate]
         r["ref_ci95_wilson"] = wilson_ci(r["ref"], args.ref_seeds)
