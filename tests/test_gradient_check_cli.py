@@ -24,9 +24,11 @@ import pytest
 def test_gradient_check_cli_fd_vs_analytic(tmp_path):
     out = tmp_path / "gc.json"
     env = dict(os.environ)
+    # --platform cpu: hermetic against TPU-tunnel outages (the axon backend
+    # HANGS on init when the tunnel is down) and deterministic across hosts
     res = subprocess.run(
         [sys.executable, "gradient_check.py", "--config", "configs/dubins.yaml",
-         "--json-out", str(out)],
+         "--platform", "cpu", "--json-out", str(out)],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=1800,
     )
