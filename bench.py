@@ -38,8 +38,14 @@ PROBE_ATTEMPTS = int(os.environ.get("BENCH_PROBE_ATTEMPTS", 3))
 PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", 180))
 PROBE_BACKOFF_S = (10.0, 45.0)  # sleep after attempt 1, 2, ...
 
+# BENCH_PLATFORM pins the backend (e.g. "cpu" to exercise bench off-chip).
+# Must go through jax.config.update AFTER import: the environment's
+# sitecustomize force-overrides jax_platforms to "axon,cpu" (see tests/conftest.py).
 _PROBE_SRC = (
-    "import jax, jax.numpy as jnp; d = jax.devices();"
+    "import os, jax, jax.numpy as jnp;"
+    "p = os.environ.get('BENCH_PLATFORM');"
+    "p and jax.config.update('jax_platforms', p);"
+    "d = jax.devices();"
     "x = jnp.ones((4, 4)); jax.block_until_ready(x @ x);"
     "print('PROBE_OK', d[0].platform, len(d))"
 )
@@ -71,7 +77,28 @@ def _emit_failure(cause: str) -> None:
         "unit": "solves/s",
         "vs_baseline": None,
         "error": cause,
-    }))
+    }), flush=True)
+
+
+# A tunnel death AFTER a successful probe makes device ops HANG (not raise), so
+# the try/except around main() never fires and the capture gets no JSON line.
+# The watchdog bounds the whole run: on expiry it emits the failure line and
+# hard-exits 0 (os._exit — the hung runtime thread can't be joined).
+WATCHDOG_S = float(os.environ.get("BENCH_WATCHDOG_S", 3300))
+
+
+def _arm_watchdog() -> "threading.Timer":
+    import threading
+
+    def expire():
+        _emit_failure(f"watchdog: run exceeded {WATCHDOG_S:.0f}s "
+                      "(backend hang after successful probe?)")
+        os._exit(0)
+
+    t = threading.Timer(WATCHDOG_S, expire)
+    t.daemon = True
+    t.start()
+    return t
 
 
 def main() -> None:
@@ -79,8 +106,12 @@ def main() -> None:
     if not ok:
         _emit_failure(f"backend_unavailable after {PROBE_ATTEMPTS} probe attempts: {detail}")
         return
+    watchdog = _arm_watchdog()
 
     import jax
+
+    if os.environ.get("BENCH_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     # Persistent compile cache: kernel compilation dominates bench wall time
     # (~5 min/process via the remote Mosaic compiler); the measured region is
@@ -195,6 +226,7 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
     elapsed = statistics.median(times)
 
+    watchdog.cancel()
     solves = 2 * H * B
     solves_per_sec = solves / elapsed
     finite_frac = float(np.isfinite(np.asarray(out[1][:, -1])).mean())
