@@ -155,7 +155,11 @@ def main() -> None:
         ab["note"] = "probe emitted no schedule simulation; see stdout above"
     with open(os.path.join(ROOT, "BENCH_COMPACT_AB.json"), "w", encoding="utf-8") as f:
         json.dump(ab, f, indent=2)
-    print(f"[battery] BENCH_COMPACT_AB.json written "
+    # flip docs/PERFORMANCE.md's numbers:compaction block from "pending" to the
+    # measured result (render_compaction reads BENCH_COMPACT_AB.json)
+    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "render_numbers.py")],
+                   check=True, cwd=ROOT)
+    print(f"[battery] BENCH_COMPACT_AB.json written + compaction block rendered "
           f"(speedup: {ab.get('speedup')})", flush=True)
 
 
