@@ -242,12 +242,21 @@ def main() -> None:
             f"GATE MET free-running on all {len(rows)} seeds"
             if len(agrees) == len(rows)
             else (
-                f"gate_met_seeds: {len(agrees)}/{len(rows)} free-running on the "
-                "shipped task — gate UNMET numerically; every divergence is "
-                "positively attributed to an inherent mechanism (barrier-"
-                "excursion chaos or Lyapunov instability of the closed loop on "
-                "that draw); gate met on the no-excursion control, teacher-"
-                "forced, and distributional surrogates (docs/AGREEMENT_ANALYSIS.md)"
+                (
+                    f"gate_met_seeds: {len(agrees)}/{len(rows)} free-running on the "
+                    "shipped task — gate UNMET numerically; every divergence is "
+                    "positively attributed to an inherent mechanism (barrier-"
+                    "excursion chaos or Lyapunov instability of the closed loop on "
+                    "that draw); gate met on the no-excursion control, teacher-"
+                    "forced, and distributional surrogates (docs/AGREEMENT_ANALYSIS.md)"
+                    if not args.variant
+                    else f"gate_met_seeds: {len(agrees)}/{len(rows)} free-running on "
+                    f"the {args.variant} no-excursion control task; every "
+                    "divergence on the remaining seeds is positively attributed "
+                    "to Lyapunov instability of the closed loop on that draw "
+                    "(our driver self-diverges under a 1e-13 disturbance "
+                    "perturbation — docs/AGREEMENT_ANALYSIS.md)"
+                )
                 if not genuine_fail
                 else "GATE NOT MET: unattributed divergences — see per-seed rows"
             )
