@@ -78,3 +78,37 @@ def test_headline_numbers_docs_in_sync():
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert r.returncode == 0, r.stderr
+
+
+def test_agreement_ratios_render_from_artifacts(tmp_path, monkeypatch):
+    """render_numbers sources agreement ratios from the sweep artifacts
+    (AGREEMENT.json / AGREEMENT_CONTROL.json are the record; numbers.json is
+    only the fallback) so a regenerated sweep propagates without a hand edit."""
+    import importlib.util
+    import json
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "render_numbers", os.path.join(root, "tools", "render_numbers.py"))
+    rn = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rn)
+
+    nums = {"agreement": {"no_excursion_control": "fallback-c",
+                          "free_running_gate_met_seeds": "fallback-f"}}
+
+    # artifacts present -> their counts win
+    with open(tmp_path / "AGREEMENT_CONTROL.json", "w", encoding="utf-8") as f:
+        json.dump({"gate_met_seeds": 17, "seeds_total": 20}, f)
+    with open(tmp_path / "AGREEMENT.json", "w", encoding="utf-8") as f:
+        json.dump({"gate_met_seeds": 0, "seeds_total": 50}, f)
+    monkeypatch.setattr(rn, "ROOT", str(tmp_path))
+    live = rn._agreement_live(nums)
+    assert live["no_excursion_control"] == "17/20"
+    assert live["free_running_gate_met_seeds"] == "0/50"
+
+    # artifacts absent -> authored fallback survives
+    monkeypatch.setattr(rn, "ROOT", str(tmp_path / "nowhere"))
+    fallback = rn._agreement_live(nums)
+    assert fallback["no_excursion_control"] == "fallback-c"
+    assert fallback["free_running_gate_met_seeds"] == "fallback-f"
