@@ -54,3 +54,22 @@ def test_healthy_cpu_run_emits_metric():
     assert out["value"] and out["value"] > 0
     assert out["unit"] == "solves/s"
     assert "error" not in out
+
+
+def test_battery_aborts_without_touching_docs():
+    # tools/bench_battery.py must refuse to rewrite docs/numbers.json when a
+    # bench mode fails (backend down): exit 1, docs byte-identical
+    nums_path = os.path.join(ROOT, "docs", "numbers.json")
+    with open(nums_path, "rb") as f:
+        before = f.read()
+    env = dict(os.environ)
+    env.update({"BENCH_PLATFORM": "no_such_platform",
+                "BENCH_PROBE_ATTEMPTS": "1", "BENCH_PROBE_TIMEOUT_S": "120"})
+    r = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "bench_battery.py"),
+         "--skip-compaction", "--repeats", "1"],
+        capture_output=True, text=True, cwd=ROOT, env=env, timeout=420)
+    assert r.returncode == 1, r.stdout[-300:]
+    assert "ABORT" in r.stdout
+    with open(nums_path, "rb") as f:
+        assert f.read() == before
