@@ -172,6 +172,11 @@ def main() -> None:
             kind = "chaotic (warm-start barrier excursion at divergence)"
         elif first_exc is not None and first_exc < first_div:
             kind = "chaotic (warm-start barrier excursion before divergence)"
+        elif agreement >= 0.99:
+            # per-step drift crossed div_tol late but the trajectory stays
+            # inside the 0.99 gate — met, not a disagreement to attribute
+            kind = (f"agrees (gate met; per-step drift past div_tol from "
+                    f"step {first_div} stays within the 0.99 gate)")
         else:
             kind = "DISAGREES (no excursion at/before divergence)"
 
