@@ -134,28 +134,75 @@ def main() -> None:
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     path = os.environ.get("BENCH_PATH", "lanes")
     mode = os.environ.get("BENCH_MODE", "paper")
+    # BENCH_SYSTEM: any registered family (dubins/double_integrator/cartpole/
+    # quadrotor2d) — non-dubins families run the SAME fused lane pipeline from
+    # their shipped configs/<name>.yaml (costs, bounds, barrier), with N=50 and
+    # H forced for cross-family comparability. Paper path only.
+    system_name = os.environ.get("BENCH_SYSTEM", "dubins")
     # BENCH_CLIP: optional grad_clip_norm for the paper path (default 0 =
     # reference-faithful no clipping; the reference paper path never clips).
     clip = float(os.environ.get("BENCH_CLIP", 0) or 0)
     s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
+    if system_name != "dubins":
+        import dataclasses as _dcs
+        import types as _types
+
+        from tube_mpc_tpu.systems.registry import build_components
+        from tube_mpc_tpu.utils.config import build_experiment, load_config
+
+        if (mode, path) != ("paper", "lanes"):
+            _emit_failure(f"BENCH_SYSTEM={system_name} supports only the paper "
+                          "lane path (BENCH_MODE=paper, BENCH_PATH=lanes)")
+            return
+        ycfg = load_config(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "configs", f"{system_name}.yaml"))
+        ycfg = _dcs.replace(ycfg, use_float64=False)
+        built = build_experiment(ycfg, paper_mode=True)
+        s = _types.SimpleNamespace(
+            system=built.system, aug=built.aug,
+            cfg=_dcs.replace(built.tube_cfg, N=50, H=H),
+            w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
+            x0=built.x0, target=built.target,
+            components=build_components(
+                system_name, dt=ycfg.system.dt,
+                control_bounds=dict(ycfg.system.control_bounds),
+                obstacles=[dict(o) for o in ycfg.environment.obstacles] or None,
+                aggregation=ycfg.environment.obstacle_aggregation,
+                beta=ycfg.environment.obstacle_smoothmin_beta,
+                extra=dict(ycfg.system.extra),
+            ),
+            dbas_eps=ycfg.dbas.eps, barrier_type=ycfg.dbas.barrier_type,
+        )
     if clip:
         import dataclasses as _dc0
 
         from tube_mpc_tpu.tube.params import AdaptConfig as _AC
-        s = _dc0.replace(s, cfg=_dc0.replace(
-            s.cfg, adapt=_AC(lr=5e-2, momentum=0.9, grad_clip_norm=clip)))
+        if system_name == "dubins":
+            s = _dc0.replace(s, cfg=_dc0.replace(
+                s.cfg, adapt=_AC(lr=5e-2, momentum=0.9, grad_clip_norm=clip)))
+        else:  # families: override only the clip, keep the YAML's adapt knobs
+            s.cfg = _dc0.replace(
+                s.cfg, adapt=_dc0.replace(s.cfg.adapt, grad_clip_norm=clip))
 
     if path == "lanes":
-        sys_c = dubins_components(
-            dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
-            centers=PAPER_OBSTACLES, radii=[1.0] * len(PAPER_OBSTACLES),
-            aggregation="smoothmin", beta=20.0,
-        )
+        if system_name != "dubins":
+            sys_c = s.components
+            lane_eps, lane_barrier = s.dbas_eps, s.barrier_type
+        else:
+            sys_c = dubins_components(
+                dt=0.01, v_min=-10.0, v_max=10.0, omega_max=float(np.pi),
+                centers=PAPER_OBSTACLES, radii=[1.0] * len(PAPER_OBSTACLES),
+                aggregation="smoothmin", beta=20.0,
+            )
+            lane_eps, lane_barrier = 1e-4, "inverse"
 
         # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
-        # "10,15" sets aux only. Bitwise-identical straggler compaction
-        # (ops/pallas/lane_solver.lane_ilqr_solve compact_caps).
-        compact = os.environ.get("BENCH_COMPACT", "")
+        # "10,15" sets aux only; BENCH_COMPACT="" disables. Bitwise-identical
+        # straggler compaction (ops/pallas/lane_solver.lane_ilqr_solve
+        # compact_caps). Default "3,5,7": measured on-chip at the headline
+        # workload — 1.63x no-clip, ~1.10x on the clip/generic/coupled modes
+        # (BENCH_COMPACT_AB.json, docs/PERFORMANCE.md round 5).
+        compact = os.environ.get("BENCH_COMPACT", "3,5,7")
         aux_caps, nom_caps = (), ()
         if compact:
             parts = compact.split(";")
@@ -195,7 +242,8 @@ def main() -> None:
                 log = run_paper_closed_loop_lanes(
                     s.system, s.aug, sys_c, s.cfg,
                     w_nominal=s.w_nominal, aux_init=s.aux_init, bp=s.bp,
-                    x0=s.x0, target=s.target, w_seqs=w_seqs, eps=1e-4,
+                    x0=s.x0, target=s.target, w_seqs=w_seqs, eps=lane_eps,
+                    barrier_type=lane_barrier,
                     nom_compact_caps=nom_caps, aux_compact_caps=aux_caps,
                 )
                 return log.u_real, log.loss
@@ -230,7 +278,7 @@ def main() -> None:
     solves = 2 * H * B
     solves_per_sec = solves / elapsed
     finite_frac = float(np.isfinite(np.asarray(out[1][:, -1])).mean())
-    metric = "tube_mpc_solves_per_sec_per_chip_dubins_T50"
+    metric = f"tube_mpc_solves_per_sec_per_chip_{system_name}_T50"
     if mode != "paper":
         metric += "_" + mode
     print(json.dumps({

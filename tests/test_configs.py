@@ -112,3 +112,46 @@ def test_agreement_ratios_render_from_artifacts(tmp_path, monkeypatch):
     fallback = rn._agreement_live(nums)
     assert fallback["no_excursion_control"] == "fallback-c"
     assert fallback["free_running_gate_met_seeds"] == "fallback-f"
+
+
+def test_driver_provenance_is_mechanical(tmp_path):
+    """driver_verified is COMPUTED from captured BENCH_r*.json artifacts (±2%),
+    never hand-authored (VERDICT r4 weak-1): a matching rc=0 artifact flips it
+    true and records the artifact name; a hand-flipped true with no matching
+    artifact is refused; failed captures (rc!=0) never verify anything."""
+    import importlib.util
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "render_numbers2", os.path.join(root, "tools", "render_numbers.py"))
+    rn = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rn)
+
+    metric = rn.DRIVER_METRIC["paper_noclip"]
+    with open(tmp_path / "BENCH_r07.json", "w", encoding="utf-8") as f:
+        json.dump({"rc": 0, "parsed": {"metric": metric, "value": 1_000_500.0}}, f)
+    with open(tmp_path / "BENCH_r08.json", "w", encoding="utf-8") as f:
+        json.dump({"rc": 1, "parsed": {"metric": metric, "value": 2_000_000.0}}, f)
+
+    rn.ROOT = str(tmp_path)
+    nums = {"headline": {
+        # within 2% of the rc=0 artifact -> verified, artifact recorded
+        "paper_noclip": {"solves_per_sec": 1_000_000, "driver_verified": False},
+        # hand-flipped true but the driver can't capture this mode -> refused
+        "generic": {"solves_per_sec": 2_000_000, "driver_verified": True},
+    }}
+    changed = rn.reconcile_provenance(nums)
+    assert set(changed) == {"paper_noclip", "generic"}
+    assert nums["headline"]["paper_noclip"]["driver_verified"] is True
+    assert nums["headline"]["paper_noclip"]["driver_artifact"] == "BENCH_r07.json"
+    assert nums["headline"]["generic"]["driver_verified"] is False
+    assert nums["headline"]["generic"]["driver_artifact"] is None
+
+    # authored value drifts >2% from every artifact -> verification is refused
+    nums["headline"]["paper_noclip"]["solves_per_sec"] = 1_100_000
+    rn.reconcile_provenance(nums)
+    assert nums["headline"]["paper_noclip"]["driver_verified"] is False
+
+    # idempotent once reconciled
+    assert rn.reconcile_provenance(nums) == []

@@ -61,10 +61,46 @@ def run_bench(env_over: dict, repeats: int, timeout_s: float = 3600) -> dict:
     return out
 
 
+FAMILIES = ("double_integrator", "cartpole", "quadrotor2d")
+
+
+def run_families(repeats: int, stamp: str) -> None:
+    """Per-family lane-engine throughput (BENCH_SYSTEM=<fam> bench.py): the
+    'generic lane engine' claim with numbers — the reference has ONE system
+    (tube_mpc.py:42-43 raises for anything but dubins); we bench all four
+    families' shipped configs at N=50/H=300 on the same fused kernels."""
+    rows = {}
+    for fam in FAMILIES:
+        print(f"[battery] family {fam}: running bench.py ...", flush=True)
+        out = run_bench({"BENCH_SYSTEM": fam}, repeats)
+        print(f"[battery] family {fam}: {json.dumps(out)}", flush=True)
+        if out.get("error") or not out.get("value"):
+            print(f"[battery] family {fam} FAILED; families table not updated",
+                  flush=True)
+            return
+        rows[fam] = {
+            "solves_per_sec": int(round(out["value"])),
+            "finite_lane_frac": out.get("finite_lane_frac"),
+            "cmd": f"BENCH_SYSTEM={fam} python bench.py",
+            "captured": stamp,
+        }
+    nums_path = os.path.join(ROOT, "docs", "numbers.json")
+    with open(nums_path, "r", encoding="utf-8") as f:
+        nums = json.load(f)
+    nums["families"] = rows
+    with open(nums_path, "w", encoding="utf-8") as f:
+        json.dump(nums, f, indent=2)
+    subprocess.run([sys.executable, os.path.join(ROOT, "tools", "render_numbers.py")],
+                   check=True, cwd=ROOT)
+    print("[battery] families table updated + docs regenerated", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--skip-compaction", action="store_true")
+    ap.add_argument("--skip-families", action="store_true")
+    ap.add_argument("--skip-hw-shard-pin", action="store_true")
     ap.add_argument("--stamp", type=str, default=None,
                     help="provenance string; default: builder battery <UTC now>")
     args = ap.parse_args()
@@ -102,6 +138,20 @@ def main() -> None:
     subprocess.run([sys.executable, os.path.join(ROOT, "tools", "render_numbers.py")],
                    check=True, cwd=ROOT)
     print("[battery] docs/numbers.json updated + docs regenerated", flush=True)
+
+    if not args.skip_families:
+        run_families(args.repeats, stamp)
+
+    if not args.skip_hw_shard_pin:
+        print("[battery] hw_shard_pin (shard_map+Mosaic on the real chip) ...",
+              flush=True)
+        r = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "hw_shard_pin.py")],
+            capture_output=True, text=True, timeout=3600, cwd=ROOT)
+        print(r.stdout[-1500:], flush=True)
+        if r.returncode != 0:
+            print(f"[battery] hw_shard_pin FAILED (rc={r.returncode}): "
+                  f"{(r.stderr.strip().splitlines() or [''])[-1]}", flush=True)
 
     if args.skip_compaction:
         return
