@@ -73,3 +73,19 @@ def test_battery_aborts_without_touching_docs():
     assert "ABORT" in r.stdout
     with open(nums_path, "rb") as f:
         assert f.read() == before
+
+
+def test_bench_system_guards_unsupported_mode():
+    # BENCH_SYSTEM families run only the paper lane path; any other combination
+    # must emit the one-line JSON error (never a traceback tail)
+    out = _run_bench({"BENCH_SYSTEM": "cartpole", "BENCH_MODE": "generic",
+                      "BENCH_PLATFORM": "cpu"}, timeout=420)
+    assert out["value"] is None
+    assert "BENCH_SYSTEM" in out["error"]
+
+
+def test_bench_system_unknown_family_emits_json():
+    out = _run_bench({"BENCH_SYSTEM": "warp_drive", "BENCH_PLATFORM": "cpu"},
+                     timeout=420)
+    assert out["value"] is None
+    assert out.get("error")

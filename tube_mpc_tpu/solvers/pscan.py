@@ -51,13 +51,16 @@ The affine closed-loop delta-rollout of the sensitivity sweep (``ddp.py:412-425`
 is likewise an associative composition of affine maps; `parallel_affine_rollout`
 evaluates it in O(log N) depth.
 
-Measured reality check (benchmarks/bench_pscan.py, TPU v5e, f32, nx=4, nu=2): at
-tube-MPC matrix sizes BOTH sweeps complete in ~20-30 us for N up to 1024 — the
-sequential scan is already at the dispatch/loop-overhead floor, so the associative
-form is a wash on this chip (log-depth buys nothing once the body is a few VPU ops,
-and it costs ~2x FLOPs when batched). It is kept as an opt-in for regimes where the
-trade flips (bigger nx, longer horizons, latency-critical single solves on larger
-parts), with equivalence guaranteed by tests/test_pscan.py.
+Measured reality check (benchmarks/bench_pscan.py --headline, TPU v5e, f32,
+nx=4, nu=2, N=50, scan-amortized on-device timing — the earlier direct-call
+numbers measured the ~25 us tunnel-dispatch floor, not device time): the
+associative form costs a measured ~3x FLOPs and runs 6.4x / 10.4x SLOWER than
+the sequential scan at B=1024 / B=16384 (the log-level gather/scatter stages
+are HBM-bound on top of the FLOP premium); it WINS only in the latency niche —
+0.89x at B=64, and 1.2x single-problem at N>=256. It is therefore an opt-in
+(``ILQRConfig.horizon_parallel``) for latency-critical small batches, never the
+throughput path; docs/PERFORMANCE.md round-5 section has the decisive table.
+Equivalence is guaranteed by tests/test_pscan.py.
 """
 from __future__ import annotations
 
@@ -81,11 +84,87 @@ class SpanElement(NamedTuple):
     eta: Array  # [..., n]
 
 
+def inv_small(A: Array) -> Array:
+    """Closed-form (adjugate/cofactor) inverse for n<=4, batched over leading dims.
+
+    `jnp.linalg.solve`/`inv` lower to LU-with-pivoting on TPU — while-loops and
+    dynamic slices that run ~10-30x slower than the surrounding algebra at these
+    matrix sizes (measured, benchmarks/bench_pscan.py --headline). The combine's
+    (I + C1 J2) is well-conditioned for LQ spans with regularized elimination,
+    so the explicit cofactor form is both faster and adequate; n>4 falls back
+    to the generic solve."""
+    n = A.shape[-1]
+    if n > 4:
+        eye = jnp.eye(n, dtype=A.dtype)
+        return jnp.linalg.solve(A, jnp.broadcast_to(eye, A.shape))
+    a = lambda i, j: A[..., i, j]
+    if n == 1:
+        return 1.0 / A
+    if n == 2:
+        det = a(0, 0) * a(1, 1) - a(0, 1) * a(1, 0)
+        adj = jnp.stack([
+            jnp.stack([a(1, 1), -a(0, 1)], axis=-1),
+            jnp.stack([-a(1, 0), a(0, 0)], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+    if n == 3:
+        c00 = a(1, 1) * a(2, 2) - a(1, 2) * a(2, 1)
+        c01 = a(1, 2) * a(2, 0) - a(1, 0) * a(2, 2)
+        c02 = a(1, 0) * a(2, 1) - a(1, 1) * a(2, 0)
+        det = a(0, 0) * c00 + a(0, 1) * c01 + a(0, 2) * c02
+        adj = jnp.stack([
+            jnp.stack([c00,
+                       a(0, 2) * a(2, 1) - a(0, 1) * a(2, 2),
+                       a(0, 1) * a(1, 2) - a(0, 2) * a(1, 1)], axis=-1),
+            jnp.stack([c01,
+                       a(0, 0) * a(2, 2) - a(0, 2) * a(2, 0),
+                       a(0, 2) * a(1, 0) - a(0, 0) * a(1, 2)], axis=-1),
+            jnp.stack([c02,
+                       a(0, 1) * a(2, 0) - a(0, 0) * a(2, 1),
+                       a(0, 0) * a(1, 1) - a(0, 1) * a(1, 0)], axis=-1),
+        ], axis=-2)
+        return adj / det[..., None, None]
+    # n == 4: Laplace expansion by 2x2 complementary minors
+    s0 = a(0, 0) * a(1, 1) - a(1, 0) * a(0, 1)
+    s1 = a(0, 0) * a(1, 2) - a(1, 0) * a(0, 2)
+    s2 = a(0, 0) * a(1, 3) - a(1, 0) * a(0, 3)
+    s3 = a(0, 1) * a(1, 2) - a(1, 1) * a(0, 2)
+    s4 = a(0, 1) * a(1, 3) - a(1, 1) * a(0, 3)
+    s5 = a(0, 2) * a(1, 3) - a(1, 2) * a(0, 3)
+    c5 = a(2, 2) * a(3, 3) - a(3, 2) * a(2, 3)
+    c4 = a(2, 1) * a(3, 3) - a(3, 1) * a(2, 3)
+    c3 = a(2, 1) * a(3, 2) - a(3, 1) * a(2, 2)
+    c2 = a(2, 0) * a(3, 3) - a(3, 0) * a(2, 3)
+    c1 = a(2, 0) * a(3, 2) - a(3, 0) * a(2, 2)
+    c0 = a(2, 0) * a(3, 1) - a(3, 0) * a(2, 1)
+    det = s0 * c5 - s1 * c4 + s2 * c3 + s3 * c2 - s4 * c1 + s5 * c0
+    rows = [
+        [a(1, 1) * c5 - a(1, 2) * c4 + a(1, 3) * c3,
+         -a(0, 1) * c5 + a(0, 2) * c4 - a(0, 3) * c3,
+         a(3, 1) * s5 - a(3, 2) * s4 + a(3, 3) * s3,
+         -a(2, 1) * s5 + a(2, 2) * s4 - a(2, 3) * s3],
+        [-a(1, 0) * c5 + a(1, 2) * c2 - a(1, 3) * c1,
+         a(0, 0) * c5 - a(0, 2) * c2 + a(0, 3) * c1,
+         -a(3, 0) * s5 + a(3, 2) * s2 - a(3, 3) * s1,
+         a(2, 0) * s5 - a(2, 2) * s2 + a(2, 3) * s1],
+        [a(1, 0) * c4 - a(1, 1) * c2 + a(1, 3) * c0,
+         -a(0, 0) * c4 + a(0, 1) * c2 - a(0, 3) * c0,
+         a(3, 0) * s4 - a(3, 1) * s2 + a(3, 3) * s0,
+         -a(2, 0) * s4 + a(2, 1) * s2 - a(2, 3) * s0],
+        [-a(1, 0) * c3 + a(1, 1) * c1 - a(1, 2) * c0,
+         a(0, 0) * c3 - a(0, 1) * c1 + a(0, 2) * c0,
+         -a(3, 0) * s3 + a(3, 1) * s1 - a(3, 2) * s0,
+         a(2, 0) * s3 - a(2, 1) * s1 + a(2, 2) * s0],
+    ]
+    adj = jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+    return adj / det[..., None, None]
+
+
 def _combine_chrono(e1: SpanElement, e2: SpanElement) -> SpanElement:
     """Compose span e1=[i,m] with the LATER span e2=[m,j]."""
     n = e1.A.shape[-1]
     eye = jnp.eye(n, dtype=e1.A.dtype)
-    M = jnp.linalg.solve(eye + e1.C @ e2.J, eye)  # (I + C1 J2)^{-1}
+    M = inv_small(eye + e1.C @ e2.J)  # (I + C1 J2)^{-1}
     A2M = e2.A @ M
     A = A2M @ e1.A
     C1_eta2 = (e1.C @ e2.eta[..., None])[..., 0]
