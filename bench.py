@@ -199,10 +199,10 @@ def main() -> None:
         # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
         # "10,15" sets aux only; BENCH_COMPACT="" disables. Bitwise-identical
         # straggler compaction (ops/pallas/lane_solver.lane_ilqr_solve
-        # compact_caps). Default "3,5,7": measured on-chip at the headline
-        # workload — 1.63x no-clip, ~1.10x on the clip/generic/coupled modes
-        # (BENCH_COMPACT_AB.json, docs/PERFORMANCE.md round 5).
-        compact = os.environ.get("BENCH_COMPACT", "3,5,7")
+        # compact_caps). Default "2,5,8": winner of the measured on-chip
+        # schedule sweep at the headline workload — 1.70x no-clip vs uncompacted
+        # (BENCH_COMPACT_AB.json schedule_sweep, docs/PERFORMANCE.md round 5).
+        compact = os.environ.get("BENCH_COMPACT", "2,5,8")
         aux_caps, nom_caps = (), ()
         if compact:
             parts = compact.split(";")

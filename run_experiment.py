@@ -36,12 +36,12 @@ def main() -> None:
                     help="lanes engine: straggler-compaction iteration caps for the "
                          "aux (and after ';' the nominal) solves — halves the "
                          "working batch width at each cap, bitwise-identical "
-                         "results. Default '3,5,7': measured 1.63x no-clip / "
-                         "~1.10x clipped on-chip (docs/PERFORMANCE.md round 5); "
+                         "results. Default '2,5,8': sweep winner, measured 1.70x "
+                         "no-clip on-chip (docs/PERFORMANCE.md round 5); "
                          "pass '' to disable")
     args = ap.parse_args()
     if args.compact_caps is None and args.engine == "lanes":
-        args.compact_caps = "3,5,7"  # measured default; --compact-caps '' disables
+        args.compact_caps = "2,5,8"  # measured default; --compact-caps '' disables
     if args.batch is not None and args.batch < 1:
         ap.error("--batch must be >= 1")
     if args.checkpoint_every is not None and args.checkpoint_every < 1:
