@@ -199,10 +199,20 @@ def main() -> None:
         # BENCH_COMPACT="10,15;8" -> aux compact caps (10,15), nominal (8);
         # "10,15" sets aux only; BENCH_COMPACT="" disables. Bitwise-identical
         # straggler compaction (ops/pallas/lane_solver.lane_ilqr_solve
-        # compact_caps). Default "2,5,8": winner of the measured on-chip
-        # schedule sweep at the headline workload — 1.70x no-clip vs uncompacted
-        # (BENCH_COMPACT_AB.json schedule_sweep, docs/PERFORMANCE.md round 5).
-        compact = os.environ.get("BENCH_COMPACT", "2,5,8")
+        # compact_caps). Defaults are the per-mode winners of the measured
+        # on-chip schedule sweeps (BENCH_COMPACT_AB.json schedule_sweep for
+        # no-clip; BENCH_MODE_SWEEP.json + 7-repeat runoffs for the clipped
+        # modes — clipping keeps theta tame, lanes converge in fewer trips,
+        # and the shorter straggler tail rewards EARLIER compaction):
+        # paper no-clip "2,5,8" (1.70x vs uncompacted), paper clip "1,4,8",
+        # generic/coupled "1,3,5". docs/PERFORMANCE.md round 5.
+        if mode in ("generic", "coupled"):
+            default_caps = "1,3,5"
+        elif clip:
+            default_caps = "1,4,8"
+        else:
+            default_caps = "2,5,8"
+        compact = os.environ.get("BENCH_COMPACT", default_caps)
         aux_caps, nom_caps = (), ()
         if compact:
             parts = compact.split(";")

@@ -36,12 +36,11 @@ def main() -> None:
                     help="lanes engine: straggler-compaction iteration caps for the "
                          "aux (and after ';' the nominal) solves — halves the "
                          "working batch width at each cap, bitwise-identical "
-                         "results. Default '2,5,8': sweep winner, measured 1.70x "
-                         "no-clip on-chip (docs/PERFORMANCE.md round 5); "
-                         "pass '' to disable")
+                         "results. Defaults to the measured per-workload sweep "
+                         "winner ('1,4,8' when the config clips gradients, "
+                         "'2,5,8' reference-faithful no-clip — "
+                         "docs/PERFORMANCE.md round 5); pass '' to disable")
     args = ap.parse_args()
-    if args.compact_caps is None and args.engine == "lanes":
-        args.compact_caps = "2,5,8"  # measured default; --compact-caps '' disables
     if args.batch is not None and args.batch < 1:
         ap.error("--batch must be >= 1")
     if args.checkpoint_every is not None and args.checkpoint_every < 1:
@@ -58,6 +57,11 @@ def main() -> None:
     from tube_mpc_tpu.runners import run_experiment
 
     cfg = load_config(args.config)
+    if args.compact_caps is None and args.engine == "lanes":
+        # measured per-workload defaults (BENCH_MODE_SWEEP.json runoffs):
+        # clipped adaptation converges in fewer improvement-loop trips, so the
+        # shorter straggler tail rewards earlier compaction
+        args.compact_caps = "1,4,8" if cfg.adaptation.grad_clip_norm else "2,5,8"
     if cfg.use_float64:
         if args.engine == "lanes":
             # the lanes engine is f32-only (TPU Mosaic has no 64-bit support);
