@@ -13,4 +13,4 @@ Layer map (mirrors SURVEY.md §1):
   utils/     config, checkpoint, profiling, debug, io              (ref run_experiment glue)
 """
 
-__version__ = "0.1.0"
+__version__ = "1.0.0"
