@@ -131,18 +131,22 @@ def main() -> None:
 
     B = int(os.environ.get("BENCH_B", 16384))
     H = int(os.environ.get("BENCH_H", 300))
+    # BENCH_N: planning horizon (default 50 — the reference task, dubins.yaml:14).
+    # The solves/s metric counts SOLVES (2 per closed-loop step), so longer
+    # horizons lower it roughly linearly; see PERFORMANCE.md "Scaling profile".
+    N = int(os.environ.get("BENCH_N", 50))
     repeats = int(os.environ.get("BENCH_REPEATS", 3))
     path = os.environ.get("BENCH_PATH", "lanes")
     mode = os.environ.get("BENCH_MODE", "paper")
     # BENCH_SYSTEM: any registered family (dubins/double_integrator/cartpole/
     # quadrotor2d) — non-dubins families run the SAME fused lane pipeline from
-    # their shipped configs/<name>.yaml (costs, bounds, barrier), with N=50 and
+    # their shipped configs/<name>.yaml (costs, bounds, barrier), with N and
     # H forced for cross-family comparability. Paper path only.
     system_name = os.environ.get("BENCH_SYSTEM", "dubins")
     # BENCH_CLIP: optional grad_clip_norm for the paper path (default 0 =
     # reference-faithful no clipping; the reference paper path never clips).
     clip = float(os.environ.get("BENCH_CLIP", 0) or 0)
-    s = dubins_paper_setup(N=50, H=H, dtype=jnp.float32)
+    s = dubins_paper_setup(N=N, H=H, dtype=jnp.float32)
     if system_name != "dubins":
         import dataclasses as _dcs
         import types as _types
@@ -160,7 +164,7 @@ def main() -> None:
         built = build_experiment(ycfg, paper_mode=True)
         s = _types.SimpleNamespace(
             system=built.system, aug=built.aug,
-            cfg=_dcs.replace(built.tube_cfg, N=50, H=H),
+            cfg=_dcs.replace(built.tube_cfg, N=N, H=H),
             w_nominal=built.w_nominal, aux_init=built.aux_init, bp=built.bp,
             x0=built.x0, target=built.target,
             components=build_components(
@@ -288,7 +292,7 @@ def main() -> None:
     solves = 2 * H * B
     solves_per_sec = solves / elapsed
     finite_frac = float(np.isfinite(np.asarray(out[1][:, -1])).mean())
-    metric = f"tube_mpc_solves_per_sec_per_chip_{system_name}_T50"
+    metric = f"tube_mpc_solves_per_sec_per_chip_{system_name}_T{N}"
     if mode != "paper":
         metric += "_" + mode
     print(json.dumps({

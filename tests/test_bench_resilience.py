@@ -89,3 +89,14 @@ def test_bench_system_unknown_family_emits_json():
                      timeout=420)
     assert out["value"] is None
     assert out.get("error")
+
+
+@pytest.mark.slow
+def test_bench_n_flows_into_workload_and_metric():
+    # BENCH_N parameterizes the planning horizon (PERFORMANCE.md scaling
+    # profile); the metric name records it so artifacts are self-describing.
+    out = _run_bench({"BENCH_PLATFORM": "cpu", "BENCH_PATH": "xla",
+                      "BENCH_B": "2", "BENCH_H": "2", "BENCH_N": "8",
+                      "BENCH_REPEATS": "1"}, timeout=560)
+    assert out["value"] and out["value"] > 0
+    assert out["metric"].endswith("_T8")
