@@ -71,8 +71,10 @@ def _probe_backend() -> tuple[bool, str]:
 
 
 def _emit_failure(cause: str) -> None:
+    sysname = os.environ.get("BENCH_SYSTEM", "dubins")
+    horizon = os.environ.get("BENCH_N", "50")
     print(json.dumps({
-        "metric": "tube_mpc_solves_per_sec_per_chip_dubins_T50",
+        "metric": f"tube_mpc_solves_per_sec_per_chip_{sysname}_T{horizon}",
         "value": None,
         "unit": "solves/s",
         "vs_baseline": None,
